@@ -1,0 +1,393 @@
+"""User-facing API, mirroring the reference's R layer (SURVEY.md §2.4).
+
+Function-for-function parity with kmer_spans.R:
+  kmer_counts            <- kmer.counts          (kmer_spans.R:18-27)
+  kmer_regions           <- kmer.regions         (kmer_spans.R:41-52)
+  kmer_low_comp_regions  <- kmer.low.comp.regions(kmer_spans.R:72-79)
+  kmer_seq               <- kmer.seq             (kmer_spans.R:84-86)
+  lr_regions             <- lr.regions           (kmer_spans.R:88-99)
+  window_kmer_dist       <- window.kmer.dist     (kmer_spans.R:104-119)
+  kmers_to_file/read_kmers                       (kmer_spans.R:135-186)
+
+Backends:
+  * "host": the sequential/numpy oracle — exact, no accelerator.
+  * "jax":  device codes + spectrum counting; ranks and span extraction on
+            host in exact f64 (sequential summation order), so results are
+            bit-identical to "host".  This is the default when a device is
+            available.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from . import oracle
+from .encoding import MAX_K, PackedSeq, all_kmers, kmer_to_code, pack
+from .models.scoring import (
+    Log2MedianScoring,
+    RankScoring,
+    ScoringModel,
+    ThresholdScoring,
+    WeightScoring,
+)
+from .spans.extract import extract_spans
+
+_REGION_DTYPE = np.dtype(
+    [
+        ("seq_id", np.int32),
+        ("beg", np.int32),
+        ("end", np.int32),
+        ("score", np.float64),
+        ("entropy", np.float64),  # always 0, as in the reference (SURVEY #8)
+    ]
+)
+
+
+def _as_region_array(regions) -> np.ndarray:
+    out = np.zeros(len(regions), dtype=_REGION_DTYPE)
+    for i, (sid, beg, end, score) in enumerate(regions):
+        out[i] = (sid, beg, end, score, 0.0)
+    return out
+
+
+def _as_seq_list(seqs) -> list[PackedSeq]:
+    if isinstance(seqs, (str, bytes, PackedSeq)):
+        seqs = [seqs]
+    return [pack(s) for s in seqs]
+
+
+def _resolve_backend(backend: str) -> str:
+    if backend == "auto":
+        try:
+            import jax
+
+            jax.devices()
+            return "jax"
+        except Exception:
+            return "host"
+    if backend not in ("host", "jax"):
+        raise ValueError(f"unknown backend {backend!r}")
+    return backend
+
+
+# ---------------------------------------------------------------------------
+# Spectrum counting
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class KmerCountResult:
+    k: int
+    n: float  # total k-mers counted (reference returns this as double)
+    counts: np.ndarray  # int64 [4^k]
+    f: np.ndarray | None = None  # counts / sum(counts) when with_f
+
+
+def kmer_counts(seqs, k: int, with_f: bool = True, backend: str = "auto") -> KmerCountResult:
+    """Dense 4^k spectrum over the combined set of sequences.
+
+    Sequences shorter than k are skipped (reference src/kmer_spans.c:478-479).
+    """
+    backend = _resolve_backend(backend)
+    packed = _as_seq_list(seqs)
+    if backend == "jax":
+        from .parallel.device import device_count_spectrum
+
+        counts, n = device_count_spectrum(packed, k)
+    else:
+        counts = np.zeros(1 << (2 * k), dtype=np.int64)
+        n = 0
+        for p in packed:
+            if p.n < k:
+                continue
+            _, nw = oracle.count_spectrum(p, k, counts)
+            n += nw
+    f = counts / counts.sum() if with_f and counts.sum() else None
+    return KmerCountResult(k=k, n=float(n), counts=counts, f=f)
+
+
+# ---------------------------------------------------------------------------
+# Span calling
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class RegionResult:
+    n: np.ndarray  # reference's n slot (shape varies by call; see docstrings)
+    counts: np.ndarray | None
+    regions: np.ndarray  # structured (seq_id, beg, end, score, entropy)
+    w_rank: np.ndarray | None = None
+
+
+def _score_table(k: int, kmer_scores) -> np.ndarray:
+    """Resolve scores to a 4^k f64 array in 2-bit index order.
+
+    Accepts a dict {kmer string: score} in any order (the R wrapper's
+    name-reorder, kmer_spans.R:44-47) or an array already in 2-bit order.
+    """
+    size = 1 << (2 * k)
+    if isinstance(kmer_scores, dict):
+        if len(kmer_scores) != size:
+            raise ValueError(f"there should be a total of 4^k ({size}) scores")
+        table = np.empty(size, dtype=np.float64)
+        seen = np.zeros(size, dtype=bool)
+        for kmer, sc in kmer_scores.items():
+            if len(kmer) != k:
+                raise ValueError(f"k-mer {kmer!r} is not length {k}")
+            code = kmer_to_code(kmer)
+            table[code] = sc
+            seen[code] = True
+        if not seen.all():
+            raise ValueError("all kmers not defined")
+        return table
+    table = np.asarray(kmer_scores, dtype=np.float64)
+    if table.shape != (size,):
+        raise ValueError(f"kmer_scores must have 4^k = {size} entries")
+    return table
+
+
+def _call_regions(
+    packed: list[PackedSeq],
+    k: int,
+    model: ScoringModel,
+    min_width: int,
+    min_score: float,
+    backend: str,
+    want_scan_counts: bool,
+):
+    """Shared span-calling core for kmer_regions / kmer_low_comp_regions."""
+    size = 1 << (2 * k)
+    scan_counts = np.zeros(size, dtype=np.int64) if want_scan_counts else None
+    all_regions = []
+    if backend == "jax":
+        from .parallel.device import device_codes_scored
+
+        for i, p in enumerate(packed):
+            if p.n < k:
+                continue
+            codes, scored = device_codes_scored(p, k)
+            s = model.weights[codes] - model.threshold
+            visits = (
+                np.zeros(p.n + 1, dtype=np.int64) if want_scan_counts else None
+            )
+            regs = extract_spans(
+                s, scored, min_width, min_score, seq_id=i, visits_full=visits
+            )
+            all_regions.extend(regs)
+            if want_scan_counts:
+                mult = np.cumsum(visits[:-1])
+                sel = mult > 0
+                scan_counts += np.bincount(
+                    codes[sel], weights=mult[sel], minlength=size
+                ).astype(np.int64)
+    else:
+        for i, p in enumerate(packed):
+            if p.n < k:
+                continue
+            sc32 = None
+            if want_scan_counts:
+                sc32 = np.zeros(size, dtype=np.int64)
+            regs = oracle.find_regions(
+                p, i, min_width, min_score, model.weights, k,
+                model.threshold, scan_counts=sc32,
+            )
+            all_regions.extend(regs)
+            if want_scan_counts:
+                scan_counts += sc32
+    return all_regions, scan_counts
+
+
+def kmer_regions(
+    seqs, k: int, kmer_scores, min_width: int, min_score: float,
+    backend: str = "auto",
+) -> RegionResult:
+    """Arbitrary-weight span calling (reference kmer_regions_r, :490-546).
+
+    Returns n = total sequence length (of sequences >= k), scan counts
+    (k-mers at *scanned* positions, rescans double-counted — reference
+    quirk), and the regions.
+    """
+    backend = _resolve_backend(backend)
+    if k >= 16:
+        raise ValueError("kmer sizes >= 16 not supported")
+    packed = _as_seq_list(seqs)
+    model = WeightScoring(_score_table(k, kmer_scores))
+    total_len = float(sum(p.n for p in packed if p.n >= k))
+    regions, scan_counts = _call_regions(
+        packed, k, model, min_width, min_score, backend, want_scan_counts=True
+    )
+    return RegionResult(
+        n=np.array([total_len]),
+        counts=scan_counts,
+        regions=_as_region_array(regions),
+    )
+
+
+def kmer_low_comp_regions(
+    seqs, k: int, min_w: int, min_score: float, thr: float = 0.75,
+    backend: str = "auto",
+) -> RegionResult:
+    """The flagship pipeline: spectrum -> weighted ranks -> rank-scored spans
+    (reference kmer_low_comp_regions, :548-621; kmer_spans.R:72-79).
+    """
+    backend = _resolve_backend(backend)
+    packed = _as_seq_list(seqs)
+    cr = kmer_counts(packed, k, with_f=False, backend=backend)
+    model = RankScoring(cr.counts, cr.n, thr)
+    regions, _ = _call_regions(
+        packed, k, model, min_w, min_score, backend, want_scan_counts=False
+    )
+    return RegionResult(
+        n=np.array([cr.n, 0.0]),  # slot 1 is always 0 in the reference (:613)
+        counts=cr.counts,
+        regions=_as_region_array(regions),
+        w_rank=model.weights,
+    )
+
+
+def kmer_seq(k: int) -> list[str]:
+    """All 4^k k-mer strings in 2-bit index order (A, C, T, G)."""
+    return all_kmers(k)
+
+
+# ---------------------------------------------------------------------------
+# Transition-score regions
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class LrRegionResult:
+    kmer_scores: np.ndarray  # [4^k, 2] reordered (seed, transition) tables
+    regions: np.ndarray  # structured; score column + null column (entropy)
+
+
+def lr_regions(
+    seqs, params, kmers, kmer_scores, trans_scores, backend: str = "auto"
+) -> LrRegionResult:
+    """Transition-score span calling (reference tr_lr_regions_r, :649-713).
+
+    params = (k, min_length).  ``kmers`` gives the order of the score
+    tables (any order, e.g. alphabetical); they are reordered to 2-bit
+    order by re-encoding each k-mer string, as the reference does
+    (:686-694).
+    """
+    k, min_length = int(params[0]), int(params[1])
+    if not 1 <= k <= MAX_K:
+        raise ValueError(f"k should be in [1, {MAX_K}]")
+    if min_length < 0:
+        raise ValueError("min_length should be a positive integer")
+    size = 1 << (2 * k)
+    kmer_scores = np.asarray(kmer_scores, dtype=np.float64)
+    trans_scores = np.asarray(trans_scores, dtype=np.float64)
+    if not (len(kmers) == kmer_scores.shape[0] == trans_scores.shape[0] == size):
+        raise ValueError("kmers, kmer_scores, trans_scores should all be 4^k long")
+    ks = np.empty(size, dtype=np.float64)
+    ts = np.empty(size, dtype=np.float64)
+    for i, kmer in enumerate(kmers):
+        code = kmer_to_code(kmer)
+        ks[code] = kmer_scores[i]
+        ts[code] = trans_scores[i]
+    packed = _as_seq_list(seqs)
+    regions = []
+    for i, p in enumerate(packed):
+        # reference seq_id starts at 1 here (:699)
+        regions.extend(oracle.find_tr_regions(p, i + 1, k, ks, ts, min_length))
+    return LrRegionResult(
+        kmer_scores=np.stack([ks, ts], axis=1),
+        regions=_as_region_array(regions),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Windowed k-mer count distributions
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class WindowDistResult:
+    dist: np.ndarray  # (window+1, kmer_n); frequencies if freq else counts
+    seq_i: np.ndarray  # int [n_seqs]; 1 where the sequence was included
+    scores: list | None  # per-seq (len, kmer_n) count matrices if ret_flag&1
+    kmers: list[str]
+
+
+def window_kmer_dist(
+    seqs, kmers, window: int, freq: bool = True, ret_flag: int = 0,
+    backend: str = "auto",
+) -> WindowDistResult:
+    """Sliding-window occurrence distributions (reference :717-793).
+
+    Sequences with length <= window are skipped and flagged 0 in seq_i.
+    """
+    kmers = list(kmers)
+    klens = {len(x) for x in kmers}
+    if len(klens) != 1:
+        raise ValueError("all kmers must be of the same size")
+    k = klens.pop()
+    if k >= 16:
+        raise ValueError("kmer sizes >= 16 not supported")
+    if window < 2 * k:
+        raise ValueError("the window size must be at least two times k")
+    tracked = np.array([kmer_to_code(x) for x in kmers], dtype=np.int64)
+    packed = _as_seq_list(seqs)
+    dist = np.zeros((window + 1, len(kmers)), dtype=np.int64)
+    seq_i = np.zeros(len(packed), dtype=np.int64)
+    scores = [] if (ret_flag & 1) else None
+    for i, p in enumerate(packed):
+        if p.n <= window:
+            if scores is not None:
+                scores.append(None)
+            continue
+        seq_i[i] = 1
+        counts_pos = None
+        if scores is not None:
+            counts_pos = np.zeros((p.n, len(kmers)), dtype=np.int64)
+            scores.append(counts_pos)
+        oracle.windowed_distributions(p, tracked, k, window, dist, counts_pos)
+    out = dist.astype(np.float64)
+    if freq:
+        colsum = out.sum(axis=0)
+        colsum[colsum == 0] = 1.0
+        out = out / colsum
+    return WindowDistResult(
+        dist=out if freq else dist, seq_i=seq_i, scores=scores, kmers=kmers
+    )
+
+
+# ---------------------------------------------------------------------------
+# Batch persistence (reference kmers.to.file / read.kmers, kmer_spans.R:135-186)
+# ---------------------------------------------------------------------------
+
+def kmers_to_file(seq_f, out_prefix: str, k, min_l: int = 100_000,
+                  backend: str = "auto"):
+    """FASTA -> binary spectrum file for each k in ``k`` (scalar or list).
+
+    Sequences shorter than min_l are dropped before counting (reference
+    default 1e5).  Returns (seq_f, out_f, seq_size, seq_fsize, seq_fl) like
+    the reference; out_f is None when reading/filtering fails.
+    """
+    from .io.fasta import read_fasta
+    from .io.spectrum_file import write_kmers
+
+    ks = [int(k)] if np.isscalar(k) else [int(x) for x in k]
+    out_f = f"{out_prefix}counts_{'_'.join(str(x) for x in ks)}.bin"
+    try:
+        records = read_fasta(seq_f)
+        seq_size = sum(len(s) for _, s in records)
+        kept = [s for _, s in records if len(s) >= min_l]
+        seq_fsize = sum(len(s) for s in kept)
+        seq_fl = len(kept)
+        if not kept:
+            raise ValueError("no sequence after length filtering")
+        packed = [pack(s) for s in kept]
+        counts = [kmer_counts(packed, kk, with_f=False, backend=backend).counts
+                  for kk in ks]
+    except Exception:
+        return (seq_f, None, 0, 0, 0)
+    write_kmers(out_f, counts)
+    return (seq_f, out_f, seq_size, seq_fsize, seq_fl)
+
+
+def read_kmers(fname):
+    """Read a binary spectrum file (magic 310572); None on bad magic."""
+    from .io.spectrum_file import read_kmers as _read
+
+    return _read(fname)

@@ -98,6 +98,10 @@ def weighted_ranks(counts: np.ndarray, total: float) -> np.ndarray:
     (left-to-right accumulation).
     """
     counts = np.asarray(counts)
+    if total == 0:
+        # no k-mers counted: every rank is 0 (reference divides by zero here;
+        # we define the degenerate case instead of propagating NaNs)
+        return np.zeros(counts.shape[0], dtype=np.float64)
     order = np.argsort(counts, kind="stable")
     terms = counts[order[:-1]].astype(np.float64) / np.float64(total)
     ranks_sorted = np.empty(counts.shape[0], dtype=np.float64)

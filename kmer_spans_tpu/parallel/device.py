@@ -1,0 +1,66 @@
+"""Single-device execution helpers: host <-> device staging with padding.
+
+Sequences are padded up to power-of-two-ish buckets so XLA compiles one
+program per (bucket, k) instead of one per sequence length.  Padding bytes
+are marked invalid (N-like), so they contribute nothing to counts, scores,
+or scored masks by construction.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..encoding import PackedSeq
+from ..ops.codes import kmer_codes
+from ..ops.count import count_spectrum_scatter, count_spectrum_sort
+
+_MIN_BUCKET = 4096
+
+
+def bucket_size(n: int) -> int:
+    b = _MIN_BUCKET
+    while b < n:
+        b *= 2
+    return b
+
+
+def _staged(p: PackedSeq):
+    import jax.numpy as jnp
+
+    nb = bucket_size(p.n)
+    bases = np.zeros(nb, dtype=np.uint8)
+    bases[: p.n] = p.bases
+    valid = np.zeros(nb, dtype=bool)
+    valid[: p.n] = p.valid
+    return jnp.asarray(bases), jnp.asarray(valid)
+
+
+def device_count_spectrum(packed: list[PackedSeq], k: int, strategy: str = "scatter"):
+    """Accumulate the 4^k spectrum over sequences on device.
+
+    Returns (counts int64 np [4^k], n_words int).  Sequences shorter than k
+    are skipped (reference binding behavior, src/kmer_spans.c:478-479).
+    """
+    import jax.numpy as jnp
+
+    count_fn = count_spectrum_sort if strategy == "sort" else count_spectrum_scatter
+    total = None
+    n_words = 0
+    for p in packed:
+        if p.n < k:
+            continue
+        bases, valid = _staged(p)
+        codes, kv, _ = kmer_codes(bases, valid, k)
+        c = count_fn(codes, kv, k)
+        n_words += int(jnp.sum(kv))
+        total = c if total is None else total + c
+    if total is None:
+        return np.zeros(1 << (2 * k), dtype=np.int64), 0
+    return np.asarray(total).astype(np.int64), n_words
+
+
+def device_codes_scored(p: PackedSeq, k: int):
+    """Codes + scored mask for one sequence, trimmed back to its length."""
+    bases, valid = _staged(p)
+    codes, _, scored = kmer_codes(bases, valid, k)
+    return np.asarray(codes)[: p.n], np.asarray(scored)[: p.n]

@@ -7,13 +7,17 @@ __graft_entry__.py.  Must run before jax is imported anywhere.
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
+# NOTE: the harness environment pins JAX_PLATFORMS=axon (the tunneled TPU);
+# the env var wins over in-process assignment, so the config.update below is
+# what actually forces the CPU backend for tests.
+os.environ.pop("JAX_PLATFORMS", None)
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
 import numpy as np  # noqa: E402
