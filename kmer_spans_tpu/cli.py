@@ -1,0 +1,166 @@
+"""Command-line interface.
+
+Subcommands mirror the R user API:
+  count    — k-mer spectrum of FASTA input (optionally write .bin spectrum)
+  spans    — flagship low-complexity / repeat span calling
+  regions  — arbitrary-weight span calling from a scores TSV
+  windows  — sliding-window k-mer occurrence distributions
+  kmers    — print all 4^k k-mers in 2-bit index order
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+
+def _load_seqs(path, min_l=0):
+    from .io.fasta import read_fasta
+
+    records = read_fasta(path)
+    names = [n for n, s in records if len(s) >= min_l]
+    seqs = [s for _, s in records if len(s) >= min_l]
+    if not seqs:
+        sys.exit(f"no sequences (>= {min_l} bases) in {path}")
+    return names, seqs
+
+
+def _add_common(sp):
+    sp.add_argument("fasta", help="FASTA file (plain or .gz)")
+    sp.add_argument("-k", type=int, default=8)
+    sp.add_argument("--backend", default="auto", choices=["auto", "host", "jax"])
+
+
+def cmd_count(args):
+    from . import api
+
+    names, seqs = _load_seqs(args.fasta, args.min_l)
+    res = api.kmer_counts(seqs, args.k, backend=args.backend)
+    if args.out:
+        from .io.spectrum_file import write_kmers
+
+        write_kmers(args.out, [res.counts])
+        print(f"wrote {args.out} (k={args.k}, n={int(res.n)})")
+    else:
+        top = np.argsort(res.counts)[::-1][: args.top]
+        from .encoding import code_to_kmer
+
+        print(json.dumps({
+            "k": args.k,
+            "n": res.n,
+            "top": {code_to_kmer(int(c), args.k): int(res.counts[c]) for c in top},
+        }))
+
+
+def cmd_spans(args):
+    from . import api
+
+    names, seqs = _load_seqs(args.fasta, args.min_l)
+    res = api.kmer_low_comp_regions(
+        seqs, args.k, args.min_width, args.min_score, thr=args.thr,
+        backend=args.backend,
+    )
+    w = sys.stdout
+    w.write("seq\tbeg\tend\tscore\n")
+    for r in res.regions:
+        w.write(f"{names[r['seq_id']]}\t{r['beg']}\t{r['end']}\t{r['score']:.6f}\n")
+    print(f"# {len(res.regions)} regions, {int(res.n[0])} k-mers counted",
+          file=sys.stderr)
+
+
+def cmd_regions(args):
+    from . import api
+
+    names, seqs = _load_seqs(args.fasta, 0)
+    scores = {}
+    with open(args.scores) as fh:
+        for line in fh:
+            if line.strip():
+                kmer, val = line.split()
+                scores[kmer] = float(val)
+    res = api.kmer_regions(
+        seqs, args.k, scores, args.min_width, args.min_score,
+        backend=args.backend,
+    )
+    sys.stdout.write("seq\tbeg\tend\tscore\n")
+    for r in res.regions:
+        sys.stdout.write(
+            f"{names[r['seq_id']]}\t{r['beg']}\t{r['end']}\t{r['score']:.6f}\n")
+
+
+def cmd_windows(args):
+    from . import api
+
+    names, seqs = _load_seqs(args.fasta, 0)
+    res = api.window_kmer_dist(
+        seqs, args.kmers.split(","), args.window, freq=not args.counts
+    )
+    sys.stdout.write("count\t" + "\t".join(res.kmers) + "\n")
+    for i in range(res.dist.shape[0]):
+        row = res.dist[i]
+        if not row.any():
+            continue
+        vals = "\t".join(
+            f"{v:.6g}" if not args.counts else str(int(v)) for v in row
+        )
+        sys.stdout.write(f"{i}\t{vals}\n")
+
+
+def cmd_kmers(args):
+    from .encoding import all_kmers
+
+    for s in all_kmers(args.k):
+        print(s)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(
+        prog="kmer-spans-tpu",
+        description="TPU-native k-mer span-finding engine",
+    )
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    sp = sub.add_parser("count", help="k-mer spectrum")
+    _add_common(sp)
+    sp.add_argument("--out", help="write binary spectrum file (magic 310572)")
+    sp.add_argument("--min-l", type=int, default=0)
+    sp.add_argument("--top", type=int, default=10)
+    sp.set_defaults(fn=cmd_count)
+
+    sp = sub.add_parser("spans", help="low-complexity/repeat span calling")
+    _add_common(sp)
+    sp.add_argument("--thr", type=float, default=0.75)
+    sp.add_argument("--min-width", type=int, default=100)
+    sp.add_argument("--min-score", type=float, default=20.0)
+    sp.add_argument("--min-l", type=int, default=0)
+    sp.set_defaults(fn=cmd_spans)
+
+    sp = sub.add_parser("regions", help="arbitrary-weight span calling")
+    _add_common(sp)
+    sp.add_argument("--scores", required=True,
+                    help="TSV of kmer<TAB>score, all 4^k kmers")
+    sp.add_argument("--min-width", type=int, default=10)
+    sp.add_argument("--min-score", type=float, default=5.0)
+    sp.set_defaults(fn=cmd_regions)
+
+    sp = sub.add_parser("windows", help="windowed k-mer distributions")
+    sp.add_argument("fasta")
+    sp.add_argument("--kmers", required=True, help="comma-separated k-mers")
+    sp.add_argument("--window", type=int, required=True)
+    sp.add_argument("--counts", action="store_true",
+                    help="raw counts instead of frequencies")
+    sp.set_defaults(fn=cmd_windows)
+
+    sp = sub.add_parser("kmers", help="all 4^k k-mers in index order")
+    sp.add_argument("-k", type=int, default=2)
+    sp.set_defaults(fn=cmd_kmers)
+
+    args = ap.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -8,15 +8,24 @@ trace,
     passes (min_width, min_score); rescan the suffix from m+1 with S = 0;
     a failing candidate emits nothing from its whole excursion.
 
-Bit-identity requirement (SURVEY §7 hard part 2): emitted scores must match
-the reference's *sequential* f64 summation order.  Tree-ordered scans
-(device f32/f64) cannot reproduce that rounding, so excursions are replayed
-here with ``np.add.accumulate`` (strictly left-to-right f64) in bounded
-chunks — cost is O(total excursion mass), not O(n).
+Two layers:
 
-The device scan's role is acceleration: callers may pass ``start_hints``
-(candidate excursion-start indices, e.g. from the TPU scan's S>0 mask) to
-skip the dead (S==0) majority of the sequence.
+  * SCREENING (vectorized): per segment, the unclamped prefix sum P and its
+    running min M give S_screen = P - M, the max-plus scan up to f64
+    rounding; positive runs whose max could reach min_score and whose
+    length could reach min_width are candidates.  Everything else provably
+    emits nothing and is skipped in O(1).
+  * REPLAY (sequential f64): candidates are replayed with
+    ``np.add.accumulate`` — strictly left-to-right, the reference's exact
+    summation order (SURVEY §7 hard part 2) — so emitted positions and
+    scores are bit-identical to the C loop.  The replay is self-correcting:
+    it finds true excursion boundaries even where screening rounding merged
+    or split runs (margins below absorb the <=1e-9 screen error).
+
+Scan-count parity: every scored position is visited once, plus once more
+per emission for the rescanned range [m+1, crossing] (the reference's
+double-count quirk, src/kmer_spans.c:266-267) — recorded in a difference
+array by the caller's request.
 """
 
 from __future__ import annotations
@@ -24,16 +33,17 @@ from __future__ import annotations
 import numpy as np
 
 _CHUNK = 4096
+#: absolute slack on the screened excursion max vs min_score; the screen's
+#: f64 rounding error is ~eps * |P|_max, far below this for any real input
+_SCORE_MARGIN = 1e-6
 
 
 def _first_nonpositive(s: np.ndarray, u: int):
-    """Sequential S replay from u: S = add.accumulate(s[u:]).
+    """Sequential S replay from u: exact left-to-right f64 partial sums.
 
-    Returns (S_vals, z) where S_vals are the exact sequential partial sums
-    for positions u..z (inclusive; S_vals[i] is S at u+i), and z is the
-    absolute index of the first position with S <= 0, or None if the scan
-    ran to the end of the array with S > 0 throughout (then S_vals covers
-    u..n-1).
+    Returns (S_vals, z): S_vals[i] is S at index u+i; z is the absolute
+    index of the first position with S <= 0, or None if the array ends with
+    S > 0 throughout (S_vals then covers u..n-1).
     """
     n = s.shape[0]
     parts: list[np.ndarray] = []
@@ -41,9 +51,8 @@ def _first_nonpositive(s: np.ndarray, u: int):
     lo = u
     while lo < n:
         hi = min(lo + _CHUNK, n)
-        # np.add.accumulate is strictly left-to-right in f64; seeding the
-        # chunk with the carry as element 0 keeps the *exact* sequential
-        # rounding order across chunk boundaries.
+        # seed the chunk with the carry as element 0: np.add.accumulate is
+        # strictly sequential, so rounding order matches the reference's
         block = np.empty(hi - lo + 1, dtype=np.float64)
         block[0] = carry
         block[1:] = s[lo:hi]
@@ -59,26 +68,45 @@ def _first_nonpositive(s: np.ndarray, u: int):
     return (parts[0] if len(parts) == 1 else np.concatenate(parts)), None
 
 
+def _screen_candidates(s: np.ndarray, min_width: int, min_score: float):
+    """Vectorized candidate runs: list of (start, end) worth exact replay."""
+    n = s.shape[0]
+    P = np.cumsum(s)
+    M = np.minimum.accumulate(np.minimum(P, 0.0))
+    S = P - M
+    pos = S > 0.0
+    if not pos.any():
+        return []
+    d = np.diff(pos.astype(np.int8))
+    starts = np.nonzero(d == 1)[0] + 1
+    ends = np.nonzero(d == -1)[0]
+    if pos[0]:
+        starts = np.concatenate([[0], starts])
+    if pos[-1]:
+        ends = np.concatenate([ends, [n - 1]])
+    if starts.shape[0] == 0:
+        return []
+    runmax = np.maximum.reduceat(S, starts)
+    width_ok = (ends - starts + 1) >= min_width  # m-u <= runlen-1, +1 slack
+    score_ok = runmax >= (min_score - _SCORE_MARGIN)
+    keep = width_ok & score_ok
+    return list(zip(starts[keep].tolist(), ends[keep].tolist()))
+
+
 def extract_segment_spans(
     s: np.ndarray,
     pos_offset: int,
     min_width: int,
     min_score: float,
     visits: np.ndarray | None = None,
-    start_hints: np.ndarray | None = None,
 ):
     """Extract spans from one N-free segment's scored positions.
 
     s          : f64 scores at the segment's scored positions (index j scores
                  the k-mer whose 1-based last base is pos_offset + j).
     pos_offset : 1-based last-base position of scored index 0.
-    visits     : optional int64 array (len(s)+1) treated as a difference
-                 array; each scan pass adds +1 over the range it traverses —
-                 reproduces the reference's scan-count double-counting quirk
-                 (src/kmer_spans.c:266-267).
-    start_hints: optional sorted candidate excursion-start indices (must be a
-                 superset of true starts restricted to s>0; extra or stale
-                 entries are skipped).  Default: all indices with s > 0.
+    visits     : optional int64 difference array (len(s)+1): +1 everywhere
+                 (base pass) plus +1 over each emission's rescanned range.
 
     Returns list of (beg, end, score) in the reference's 1-based last-base
     coordinates.
@@ -87,45 +115,33 @@ def extract_segment_spans(
     regions: list[tuple[int, int, float]] = []
     if n == 0:
         return regions
-    if start_hints is None:
-        start_hints = np.nonzero(s > 0.0)[0]
-    pass_start = 0
-    j = 0
-    while j < n:
-        pi = int(np.searchsorted(start_hints, j))
-        # advance to the next genuine excursion start (s > 0)
-        u = -1
-        while pi < start_hints.shape[0]:
-            cand = int(start_hints[pi])
-            if s[cand] > 0.0:
-                u = cand
-                break
-            pi += 1
-        if u < 0:
-            break  # no further excursions; the pass runs to segment end
-        S_vals, z = _first_nonpositive(s, u)
-        # positions with S > 0: u .. (z-1) or u .. n-1
-        top = (z - 1) if z is not None else (n - 1)
-        m_rel = int(np.argmax(S_vals[: top - u + 1]))  # first argmax, exact f64
-        m = u + m_rel
-        max_score = float(S_vals[m_rel])
-        if (m - u) >= min_width and max_score >= min_score:
-            regions.append((pos_offset + u, pos_offset + m, max_score))
-            # this pass traversed up to the zero crossing (or segment end)
-            pass_end = z if z is not None else n - 1
-            if visits is not None:
-                visits[pass_start] += 1
-                visits[pass_end + 1] -= 1
-            pass_start = m + 1
-            j = m + 1
-        else:
-            if z is None:
-                j = n  # terminal, nothing emitted
-            else:
-                j = z + 1  # same pass continues beyond the dead excursion
-    if visits is not None and pass_start < n:
-        visits[pass_start] += 1
+    if visits is not None:
+        visits[0] += 1
         visits[n] -= 1
+    runs = _screen_candidates(s, min_width, min_score)
+    j = 0  # global scan frontier: everything before j is fully resolved
+    for a, b in runs:
+        j = max(j, a)
+        while j <= b:
+            # next potential excursion start within this candidate run
+            rel = s[j : b + 1] > 0.0
+            if not rel.any():
+                break
+            u = j + int(np.argmax(rel))
+            S_vals, z = _first_nonpositive(s, u)
+            top = (z - 1) if z is not None else (n - 1)
+            m_rel = int(np.argmax(S_vals[: top - u + 1]))  # first argmax
+            m = u + m_rel
+            max_score = float(S_vals[m_rel])
+            if (m - u) >= min_width and max_score >= min_score:
+                regions.append((pos_offset + u, pos_offset + m, max_score))
+                z_e = z if z is not None else n - 1
+                if visits is not None and m + 1 <= z_e:
+                    visits[m + 1] += 1
+                    visits[z_e + 1] -= 1
+                j = m + 1
+            else:
+                j = (z + 1) if z is not None else n
     return regions
 
 
@@ -158,12 +174,11 @@ def extract_spans(
     if n and scored[-1]:
         ends.append(n - 1)
     for a, b in zip(starts, ends):
-        seg_s = s[a : b + 1]
         visits = None
         if visits_full is not None:
             visits = np.zeros(b - a + 2, dtype=np.int64)
         segs = extract_segment_spans(
-            seg_s, a + 1, min_width, min_score, visits=visits
+            s[a : b + 1], a + 1, min_width, min_score, visits=visits
         )
         regions.extend((seq_id, beg, end, sc) for beg, end, sc in segs)
         if visits_full is not None:

@@ -1,0 +1,87 @@
+"""CLI smoke tests (host backend; drives the argparse surface)."""
+
+import io
+import sys
+
+import numpy as np
+import pytest
+
+from kmer_spans_tpu.cli import main
+from kmer_spans_tpu.io.fasta import write_fasta
+
+
+@pytest.fixture()
+def fasta(tmp_path, golden):
+    p = tmp_path / "g.fa"
+    write_fasta(p, [("chr1", golden)])
+    return str(p)
+
+
+def _run(argv, capsys):
+    main(argv)
+    return capsys.readouterr()
+
+
+def test_cli_spans(fasta, capsys):
+    out = _run(
+        ["spans", fasta, "-k", "8", "--backend", "host",
+         "--min-width", "100", "--min-score", "20"],
+        capsys,
+    )
+    lines = [l for l in out.out.strip().splitlines() if l]
+    assert lines[0] == "seq\tbeg\tend\tscore"
+    assert len(lines) == 4  # header + 3 golden regions
+    assert lines[1].startswith("chr1\t20008\t20600\t137.923657")
+
+
+def test_cli_count_json(fasta, capsys):
+    out = _run(["count", fasta, "-k", "2", "--backend", "host"], capsys)
+    import json
+
+    data = json.loads(out.out)
+    assert data["k"] == 2 and data["n"] > 0
+
+
+def test_cli_count_spectrum_file(fasta, tmp_path, capsys):
+    out_bin = str(tmp_path / "spec.bin")
+    _run(["count", fasta, "-k", "8", "--backend", "host", "--out", out_bin],
+         capsys)
+    from kmer_spans_tpu.io.spectrum_file import read_kmers
+    from kmer_spans_tpu.utils.testgen import spectrum_checksum
+
+    back = read_kmers(out_bin)
+    assert back["k"] == [8]
+    assert spectrum_checksum(back["counts"][0]) == 6585132732039205817
+
+
+def test_cli_windows(fasta, capsys):
+    out = _run(
+        ["windows", fasta, "--kmers", "CG,AT", "--window", "200", "--counts"],
+        capsys,
+    )
+    lines = out.out.strip().splitlines()
+    assert lines[0] == "count\tCG\tAT"
+    assert len(lines) > 2
+
+
+def test_cli_kmers(capsys):
+    out = _run(["kmers", "-k", "2"], capsys)
+    ks = out.out.strip().splitlines()
+    assert ks[:4] == ["AA", "AC", "AT", "AG"] and len(ks) == 16
+
+
+def test_cli_regions(fasta, tmp_path, capsys):
+    from kmer_spans_tpu.encoding import all_kmers
+
+    scores = tmp_path / "scores.tsv"
+    with open(scores, "w") as fh:
+        for km in all_kmers(2):
+            fh.write(f"{km}\t{3.0 if km == 'AG' else -1.0}\n")
+    out = _run(
+        ["regions", fasta, "-k", "2", "--backend", "host",
+         "--scores", str(scores), "--min-width", "50", "--min-score", "20"],
+        capsys,
+    )
+    lines = out.out.strip().splitlines()
+    assert lines[0] == "seq\tbeg\tend\tscore"
+    assert any("20" in l for l in lines[1:])  # finds the AG island
