@@ -1,0 +1,122 @@
+"""2D-blocked device ops: genome as (nb, block) tiles.
+
+TPU memory is tiled (8, 128); 1D ops over tens of millions of elements
+compile poorly (the 50M-element flat pipeline OOM'd the TPU compiler),
+while (nb, 8192) 2D tiles map directly onto (sublane, lane) layout.  Every
+op here is a static 2D slice/concat/elementwise:
+
+  * halo_blocks      — prepend each block with the previous block's tail
+                       (the k-1 rolling-code halo; row 0 gets zeros)
+  * blocked_codes    — k shifted fused ors along axis 1 (no cumsum)
+  * blocked_kmer_valid — windowed AND of k shifted validity slices
+  * blocked_scan     — max-plus scan along axis 1 + tiny cross-block
+                       composition scan along axis 0
+
+The same shapes serve the single-chip pipeline (spans/pipeline.py) and the
+per-shard body of the multi-chip pipeline.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .scan import _combine
+
+
+def halo_blocks(x: jax.Array, h: int, fill=0, first=None):
+    """[nb, B] -> [nb, h+B]: row i gets row i-1's last h columns as prefix.
+
+    Row 0's prefix is ``first`` ([h]) if given (e.g. the previous device's
+    tail in the multi-chip pipeline), else ``fill``.
+    """
+    nb, B = x.shape
+    tail = x[:-1, B - h :]
+    if first is None:
+        first_row = jnp.full((1, h), fill, dtype=x.dtype)
+    else:
+        first_row = first.reshape(1, h).astype(x.dtype)
+    return jnp.concatenate([jnp.concatenate([first_row, tail], 0), x], axis=1)
+
+
+def blocked_codes(
+    bases2d: jax.Array,
+    valid2d: jax.Array,
+    k: int,
+    first_bases=None,
+    first_valid=None,
+):
+    """Codes + kmer validity per block (end-position convention).
+
+    bases2d/valid2d: [nb, B] (2-bit values / non-N flags).
+    first_bases/first_valid ([k-1]) seed row 0's halo (multi-chip: the
+    previous device's trailing bases; default: invalid, i.e. genome start).
+    Returns codes [nb, B] i32 (zeroed where invalid), kmer_valid [nb, B].
+    """
+    h = k - 1
+    eb = halo_blocks(bases2d.astype(jnp.int32), h, first=first_bases)
+    ev = halo_blocks(valid2d, h, fill=False, first=first_valid)
+    B = bases2d.shape[1]
+    code = eb[:, h : h + B]
+    kv = ev[:, h : h + B]
+    for j in range(1, k):
+        code = code | (eb[:, h - j : h - j + B] << (2 * j))
+        kv = kv & ev[:, h - j : h - j + B]
+    # positions before the very first k-1 bases of the genome are handled by
+    # the zero/False fill of row 0's halo.
+    return code, kv
+
+
+def blocked_scored(valid2d: jax.Array, kmer_valid: jax.Array, next_valid=None):
+    """Scored mask: kmer valid AND the NEXT byte exists and is non-N.
+
+    The next byte of a block's last column is the next block's first column;
+    the final position's next byte is ``next_valid`` (scalar; multi-chip:
+    the next device's first byte validity; default False = genome end) —
+    matching the reference's never-score-the-segment's-last-kmer rule.
+    """
+    nb, B = valid2d.shape
+    last = (
+        jnp.zeros((1, 1), bool)
+        if next_valid is None
+        else jnp.asarray(next_valid).reshape(1, 1)
+    )
+    nxt = jnp.concatenate(
+        [valid2d[:, 1:],
+         jnp.concatenate([valid2d[1:, :1], last], 0)],
+        axis=1,
+    )
+    return kmer_valid & nxt
+
+
+def blocked_scan_prefixes(s2d: jax.Array, scored2d: jax.Array):
+    """Inclusive max-plus prefix transforms over row-major [nb, B] tiles.
+
+    Returns (FA, FB, (tA, tB)): the composed prefix transform at every
+    position — S at (i, j) for incoming state x is max(x + FA[i,j],
+    FB[i,j]) — plus the whole-array transform scalars for cross-chunk /
+    cross-device carries.
+    """
+    neg = jnp.array(-jnp.inf, dtype=s2d.dtype)
+    a = jnp.where(scored2d, s2d, neg)
+    b = jnp.zeros_like(s2d)
+    A, Bv = jax.lax.associative_scan(_combine, (a, b), axis=1)
+    # compose row totals across rows (exclusive per row)
+    tA, tB = A[:, -1], Bv[:, -1]
+    cA, cB = jax.lax.associative_scan(_combine, (tA, tB))
+    zero = jnp.zeros((1,), s2d.dtype)
+    RA = jnp.concatenate([zero, cA[:-1]])
+    RB = jnp.concatenate([jnp.full((1,), -jnp.inf, s2d.dtype), cB[:-1]])
+    # full prefix = row_exclusive ∘ intra_row
+    FA = RA[:, None] + A
+    FB = jnp.maximum(RB[:, None] + A, Bv)
+    return FA, FB, (cA[-1], cB[-1])
+
+
+def blocked_scan(s2d: jax.Array, scored2d: jax.Array):
+    """Max-plus scan over row-major [nb, B] tiles, initial state 0.
+
+    Returns S [nb, B] plus the whole-array transform (A, B) scalars.
+    """
+    FA, FB, total = blocked_scan_prefixes(s2d, scored2d)
+    return jnp.maximum(FA, FB), total

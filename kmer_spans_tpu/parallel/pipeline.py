@@ -48,44 +48,40 @@ def _rank_mass(counts: jax.Array) -> jax.Array:
     return mass
 
 
-def _shard_step(bases, valid, thr, k: int, axis: str):
-    """Per-device body (inside shard_map): returns (counts, S, scored)."""
+def _shard_step(bases, valid, thr, k: int, axis: str, block: int):
+    """Per-device body (inside shard_map): returns (counts, S, scored).
+
+    Compute is 2D-blocked (ops/blocked.py); device-to-device halos ride
+    ppermute and seed the first block's halo / last position's scored rule.
+    """
+    from ..ops.blocked import (
+        blocked_codes,
+        blocked_scan_prefixes,
+        blocked_scored,
+    )
+
     n_dev = jax.lax.axis_size(axis)
     me = jax.lax.axis_index(axis)
     halo = k - 1
+    n_local = bases.shape[0]
+    nb = n_local // block
 
     # left halo: previous device's trailing k-1 bases/valid
     fwd = [(i, (i + 1) % n_dev) for i in range(n_dev)]
-    if halo > 0:
-        hb = jax.lax.ppermute(bases[-halo:], axis, fwd)
+    hb = jax.lax.ppermute(bases[-halo:], axis, fwd) if halo else None
+    hv = None
+    if halo:
         hv = jax.lax.ppermute(valid[-halo:], axis, fwd)
         hv = jnp.where(me == 0, False, hv)  # device 0 has no predecessor
-        ext_b = jnp.concatenate([hb, bases])
-        ext_v = jnp.concatenate([hv, valid])
-    else:
-        ext_b, ext_v = bases, valid
     # right halo: next device's first byte validity (for the scored rule)
     bwd = [((i + 1) % n_dev, i) for i in range(n_dev)]
-    nxt_v = jax.lax.ppermute(valid[:1], axis, bwd)
+    nxt_v = jax.lax.ppermute(valid[:1], axis, bwd)[0]
     nxt_v = jnp.where(me == n_dev - 1, False, nxt_v)
 
-    # rolling codes over the extended shard (parallel, end-position conv.)
-    b32 = ext_b.astype(jnp.int32)
-    code = b32
-    for j in range(1, k):
-        code = code | (jnp.roll(b32, j) << (2 * j))
-    idx = jnp.arange(ext_b.shape[0], dtype=jnp.int32)
-    v32 = ext_v.astype(jnp.int32)
-    cs = jnp.cumsum(v32)
-    prev = jnp.where(idx >= k, jnp.roll(cs, k), 0)
-    kmer_valid = ((cs - prev) == k) & (idx >= k - 1)
-    # trim the halo: local positions are ext[halo:]
-    code = code[halo:]
-    kmer_valid = kmer_valid[halo:]
-    # scored: kmer valid AND next byte exists and is valid (within shard the
-    # next byte is local; for the last position it is the right halo)
-    nv = jnp.concatenate([valid[1:], nxt_v])
-    scored = kmer_valid & nv
+    b2 = bases.astype(jnp.int32).reshape(nb, block)
+    v2 = valid.reshape(nb, block)
+    code, kmer_valid = blocked_codes(b2, v2, k, first_bases=hb, first_valid=hv)
+    scored = blocked_scored(v2, kmer_valid, next_valid=nxt_v)
     code = jnp.where(kmer_valid, code, 0)
 
     # partial spectrum -> replicated via psum
@@ -102,31 +98,29 @@ def _shard_step(bases, valid, thr, k: int, axis: str):
     thr_mass = thr * total  # rank > thr  <=>  mass > thr*total
     s = (pos_mass.astype(jnp.float32) - thr_mass) / total
 
-    # local max-plus scan + cross-device carry
-    a, b = score_elements(s, scored)
-    A, B = jax.lax.associative_scan(_combine, (a, b))
-    # all-gather each device's total transform and compose predecessors
-    tA = jax.lax.all_gather(A[-1], axis)  # [n_dev]
-    tB = jax.lax.all_gather(B[-1], axis)
-    cA, cB = jax.lax.associative_scan(_combine, (tA, tB))
+    # local blocked max-plus prefix transforms + cross-device carry
+    FA, FB, (tA, tB) = blocked_scan_prefixes(s, scored)
+    gA = jax.lax.all_gather(tA, axis)  # [n_dev]
+    gB = jax.lax.all_gather(tB, axis)
+    cA, cB = jax.lax.associative_scan(_combine, (gA, gB))
     # exclusive: incoming state for device d is the composition of 0..d-1
     S_in = jnp.where(
         me == 0,
         jnp.float32(0),
         jnp.maximum(cA[jnp.maximum(me - 1, 0)], cB[jnp.maximum(me - 1, 0)]),
     )
-    S = jnp.maximum(S_in + A, B)
-    return counts, S, scored
+    S = jnp.maximum(S_in + FA, FB).reshape(-1)
+    return counts, S, scored.reshape(-1)
 
 
-def make_pipeline_step(mesh: Mesh, k: int, axis: str = "data"):
+def make_pipeline_step(mesh: Mesh, k: int, axis: str = "data", block: int = 512):
     """Build the jitted multi-chip pipeline step over ``mesh``.
 
     Returns step(bases u8 [n], valid bool [n], thr f32) ->
     (counts i32 [4^k] replicated, S f32 [n] sharded, scored bool [n] sharded).
-    n must be divisible by the mesh size.
+    n must be divisible by mesh size * block.
     """
-    body = functools.partial(_shard_step, k=k, axis=axis)
+    body = functools.partial(_shard_step, k=k, axis=axis, block=block)
     sharded = jax.shard_map(
         body,
         mesh=mesh,

@@ -1,0 +1,117 @@
+"""ctypes binding for the native C++ kernels (native/kmerspans_native.cpp).
+
+The library is built on demand (make -C native) and cached; every entry
+point degrades gracefully to the pure-numpy implementations if the
+toolchain is unavailable (``available()`` reports which path is active).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "native")
+_LIB_PATH = os.path.join(_NATIVE_DIR, "libkmerspans_native.so")
+_lib = None
+_tried = False
+
+
+def _load():
+    global _lib, _tried
+    if _tried:
+        return _lib
+    _tried = True
+    try:
+        if not os.path.exists(_LIB_PATH):
+            subprocess.run(
+                ["make", "-C", _NATIVE_DIR, "-s"],
+                check=True,
+                capture_output=True,
+                timeout=120,
+            )
+        lib = ctypes.CDLL(_LIB_PATH)
+        lib.ks_pack.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p]
+        lib.ks_count.restype = ctypes.c_int64
+        lib.ks_count.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32, ctypes.c_void_p]
+        lib.ks_spans.restype = ctypes.c_int64
+        lib.ks_spans.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32,
+            ctypes.c_void_p, ctypes.c_double,
+            ctypes.c_int64, ctypes.c_double,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_void_p]
+        lib.ks_pack_fasta_body.restype = ctypes.c_int64
+        lib.ks_pack_fasta_body.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p]
+        _lib = lib
+    except Exception:
+        _lib = None
+    return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def pack_nbases(raw: np.ndarray) -> np.ndarray | None:
+    """bytes -> nbases (2-bit values, N == 4); None if native unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    raw = np.ascontiguousarray(raw, dtype=np.uint8)
+    out = np.empty(raw.shape[0], dtype=np.uint8)
+    lib.ks_pack(raw.ctypes.data, raw.shape[0], out.ctypes.data)
+    return out
+
+
+def count_spectrum(nbases: np.ndarray, k: int) -> tuple[np.ndarray, int] | None:
+    """Native sequential spectrum count; None if unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    nbases = np.ascontiguousarray(nbases, dtype=np.uint8)
+    counts = np.zeros(1 << (2 * k), dtype=np.int32)
+    n = lib.ks_count(nbases.ctypes.data, nbases.shape[0], k, counts.ctypes.data)
+    return counts.astype(np.int64), int(n)
+
+
+def find_spans(
+    nbases: np.ndarray,
+    k: int,
+    weights: np.ndarray,
+    threshold: float,
+    min_width: int,
+    min_score: float,
+    want_scan_counts: bool = False,
+):
+    """Native sequential span caller (reference-exact); None if unavailable.
+
+    Returns (beg, end, score arrays, scan_counts or None).
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    nbases = np.ascontiguousarray(nbases, dtype=np.uint8)
+    weights = np.ascontiguousarray(weights, dtype=np.float64)
+    sc = np.zeros(1 << (2 * k), dtype=np.int64) if want_scan_counts else None
+    cap = 1024
+    while True:
+        beg = np.empty(cap, dtype=np.int64)
+        end = np.empty(cap, dtype=np.int64)
+        score = np.empty(cap, dtype=np.float64)
+        if sc is not None:
+            sc[:] = 0
+        nreg = lib.ks_spans(
+            nbases.ctypes.data, nbases.shape[0], k,
+            weights.ctypes.data, threshold, min_width, min_score,
+            beg.ctypes.data, end.ctypes.data, score.ctypes.data,
+            cap, sc.ctypes.data if sc is not None else None,
+        )
+        if nreg <= cap:
+            return beg[:nreg], end[:nreg], score[:nreg], sc
+        cap = int(nreg) + 16

@@ -1,0 +1,173 @@
+// kmerspans_native: host-side native kernels for kmer_spans_tpu.
+//
+// Clean-room implementations of the behavior contract in SURVEY.md
+// (Appendices A.1-A.6); used as (a) a fast exact oracle for large-genome
+// conformance runs, (b) a CPU fallback compute path, and (c) the hot
+// FASTA-packing path.  C ABI for ctypes binding.
+//
+// Build: make -C native   (produces libkmerspans_native.so)
+
+#include <cstdint>
+#include <cstring>
+#include <cstdlib>
+#include <vector>
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// Packing: byte -> 2-bit base, with N ('n'/'N') encoded as 4.
+// Every non-N byte maps through (c >> 1) & 3 (A=0,C=1,T=2,G=3); see
+// SURVEY.md A.1 — IUPAC codes are 2-bit mapped, not skipped.
+// ---------------------------------------------------------------------------
+void ks_pack(const uint8_t* in, int64_t n, uint8_t* out) {
+    static uint8_t table[256];
+    static bool init = false;
+    if (!init) {
+        for (int c = 0; c < 256; ++c) table[c] = (uint8_t)((c >> 1) & 3);
+        table[(unsigned char)'n'] = 4;
+        table[(unsigned char)'N'] = 4;
+        init = true;
+    }
+    for (int64_t i = 0; i < n; ++i) out[i] = table[in[i]];
+}
+
+// ---------------------------------------------------------------------------
+// Spectrum counting over packed bases (4 == N).  Counts every complete
+// k-mer inside each N-free segment; returns the number of words counted.
+// ---------------------------------------------------------------------------
+int64_t ks_count(const uint8_t* nb, int64_t n, int32_t k, int32_t* counts) {
+    const uint64_t mask = (1ull << (2 * k)) - 1;
+    int64_t words = 0;
+    int64_t i = 0;
+    while (i < n) {
+        // find segment start
+        while (i < n && nb[i] == 4) ++i;
+        // build first k-mer
+        uint64_t off = 0;
+        int32_t have = 0;
+        while (i < n && nb[i] != 4) {
+            off = ((off << 2) | nb[i]) & mask;
+            ++i;
+            if (++have >= k) {
+                ++counts[off];
+                ++words;
+            }
+        }
+    }
+    return words;
+}
+
+// ---------------------------------------------------------------------------
+// Span caller: sequential reference-exact scan (SURVEY A.3/A.4).
+// Scored positions: k-mer end positions a+k-1 .. b-1 of each segment [a,b]
+// (the final k-mer of a segment is never scored).  Regions reported as
+// 1-based last-base positions of (first-positive, first-argmax) k-mers.
+// Emits into caller-provided buffers; the return value is the TOTAL number
+// of regions found (only the first `capacity` are written — if the return
+// exceeds capacity, call again with more space).
+// If scan_counts != NULL, every scored position increments
+// scan_counts[code], and rescanned positions count again (the reference's
+// double-counting quirk).
+// ---------------------------------------------------------------------------
+int64_t ks_spans(const uint8_t* nb, int64_t n, int32_t k,
+                 const double* weights, double threshold,
+                 int64_t min_width, double min_score,
+                 int64_t* out_beg, int64_t* out_end, double* out_score,
+                 int64_t capacity, int64_t* scan_counts) {
+    const uint64_t mask = (1ull << (2 * k)) - 1;
+    int64_t nreg = 0;
+    int64_t i = 0;
+    while (i < n) {
+        while (i < n && nb[i] == 4) ++i;
+        if (i >= n) break;
+        // segment [a, b]
+        int64_t a = i;
+        int64_t b = a;
+        while (b < n && nb[b] != 4) ++b;
+        --b;  // inclusive end
+        i = b + 1;
+        if (b - a + 1 < k) continue;
+        // restartable scan over scored positions (k-mer ends a+k-1 .. b-1)
+        int64_t start_end = a + k - 1;  // first k-mer end position
+        int64_t resume = start_end;
+        while (resume <= b - 1) {
+            // build k-mer ending at `resume`
+            uint64_t off = 0;
+            for (int64_t p = resume - k + 1; p <= resume; ++p)
+                off = ((off << 2) | nb[p]) & mask;
+            double score = 0, last = 0, maxs = 0;
+            int64_t reg_beg = 0, max_pos = 0;
+            int64_t p = resume;
+            bool jumped = false;
+            for (; p <= b - 1; ++p) {
+                if (p > resume) off = ((off << 2) | nb[p]) & mask;
+                if (scan_counts) ++scan_counts[off];
+                double s = weights[off] - threshold;
+                score = last + s;
+                if (score < 0) score = 0;
+                int64_t pos1 = p + 1;  // 1-based last base
+                if (last == 0 && score > 0) {
+                    reg_beg = pos1; max_pos = pos1; maxs = score;
+                }
+                if (score == 0 && last > 0) {
+                    if (max_pos - reg_beg >= min_width && maxs >= min_score) {
+                        if (nreg < capacity) {
+                            out_beg[nreg] = reg_beg;
+                            out_end[nreg] = max_pos;
+                            out_score[nreg] = maxs;
+                        }
+                        ++nreg;
+                        resume = max_pos;  // 0-based end of next kmer
+                        jumped = true;
+                        break;
+                    }
+                    maxs = 0; max_pos = pos1;
+                }
+                if (score > maxs) { maxs = score; max_pos = pos1; }
+                last = score;
+            }
+            if (jumped) continue;
+            // terminal emission (segment end with positive score)
+            if (score > 0 && max_pos - reg_beg >= min_width && maxs >= min_score) {
+                if (nreg < capacity) {
+                    out_beg[nreg] = reg_beg;
+                    out_end[nreg] = max_pos;
+                    out_score[nreg] = maxs;
+                }
+                ++nreg;
+                resume = max_pos;
+                continue;
+            }
+            break;  // segment done
+        }
+    }
+    return nreg;
+}
+
+// ---------------------------------------------------------------------------
+// FASTA body extraction: strips '\r', '\n', ' ', '\t' in place while
+// packing (used by the io layer after header splitting).
+// Returns packed length.
+// ---------------------------------------------------------------------------
+int64_t ks_pack_fasta_body(const uint8_t* in, int64_t n, uint8_t* out) {
+    static uint8_t table[256];
+    static bool init = false;
+    if (!init) {
+        for (int c = 0; c < 256; ++c) table[c] = (uint8_t)((c >> 1) & 3);
+        table[(unsigned char)'n'] = 4;
+        table[(unsigned char)'N'] = 4;
+        table[(unsigned char)'\n'] = 255;
+        table[(unsigned char)'\r'] = 255;
+        table[(unsigned char)' '] = 255;
+        table[(unsigned char)'\t'] = 255;
+        init = true;
+    }
+    int64_t m = 0;
+    for (int64_t i = 0; i < n; ++i) {
+        uint8_t v = table[in[i]];
+        if (v != 255) out[m++] = v;
+    }
+    return m;
+}
+
+}  // extern "C"

@@ -1,0 +1,101 @@
+"""Native C++ kernels vs the Python oracle (differential + golden)."""
+
+import numpy as np
+import pytest
+
+from kmer_spans_tpu.encoding import pack
+from kmer_spans_tpu.oracle import count_spectrum, find_regions, weighted_ranks
+from kmer_spans_tpu.utils import native
+from kmer_spans_tpu.utils.testgen import spectrum_checksum
+
+from conftest import random_seq
+
+pytestmark = pytest.mark.skipif(
+    not native.available(), reason="native toolchain unavailable"
+)
+
+
+def _nbases(seq):
+    p = pack(seq)
+    nb = p.bases.copy()
+    nb[~p.valid] = 4
+    return nb
+
+
+def test_native_pack():
+    raw = np.frombuffer(b"ACGTnNWacgt", dtype=np.uint8)
+    nb = native.pack_nbases(raw)
+    assert list(nb) == [0, 1, 3, 2, 4, 4, 3, 0, 1, 3, 2]
+
+
+def test_native_count_golden(golden):
+    nb = _nbases(golden)
+    counts, n = native.count_spectrum(nb, 8)
+    assert n == 99_993
+    assert spectrum_checksum(counts) == 6585132732039205817
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_native_count_random(seed):
+    rng = np.random.default_rng(seed)
+    seq = random_seq(rng, 10_000, n_prob=0.02)
+    oc, on = count_spectrum(seq, 5)
+    counts, n = native.count_spectrum(_nbases(seq), 5)
+    assert n == on and (counts == oc).all()
+
+
+def test_native_spans_golden(golden):
+    nb = _nbases(golden)
+    counts, n = native.count_spectrum(nb, 8)
+    ranks = weighted_ranks(counts, float(n))
+    beg, end, score, _ = native.find_spans(nb, 8, ranks, 0.75, 100, 20.0)
+    assert list(beg) == [20008, 50008, 80007]
+    assert list(end) == [20600, 50900, 80400]
+    assert [round(s, 6) for s in score] == [137.923657, 214.364008, 96.947531]
+
+
+@pytest.mark.parametrize("seed", range(5))
+def test_native_spans_random_bit_identical(seed):
+    rng = np.random.default_rng(50 + seed)
+    seq = random_seq(rng, 6_000, n_prob=0.01)
+    k = 3
+    oc, on = count_spectrum(seq, k)
+    ranks = weighted_ranks(oc, float(on))
+    for thr, mw, ms in [(0.5, 5, 2.0), (0.75, 3, 0.5)]:
+        expect = find_regions(seq, 0, mw, ms, ranks, k, thr)
+        beg, end, score, _ = native.find_spans(_nbases(seq), k, ranks, thr, mw, ms)
+        assert list(beg) == [e[1] for e in expect]
+        assert list(end) == [e[2] for e in expect]
+        assert list(score) == [e[3] for e in expect]  # bit-identical f64
+
+
+def test_native_scan_counts_match_oracle():
+    rng = np.random.default_rng(77)
+    seq = random_seq(rng, 3_000, n_prob=0.02)
+    k = 2
+    w = rng.normal(0.2, 1.0, size=16)
+    oracle_counts = np.zeros(16, dtype=np.int64)
+    expect = find_regions(seq, 0, 2, 0.5, w, k, 0.0, scan_counts=oracle_counts)
+    beg, end, score, sc = native.find_spans(
+        _nbases(seq), k, w, 0.0, 2, 0.5, want_scan_counts=True
+    )
+    assert list(beg) == [e[1] for e in expect]
+    assert (sc == oracle_counts).all()
+
+
+def test_native_capacity_growth():
+    # many planted islands in random background to force capacity regrowth
+    rng = np.random.default_rng(3)
+    chunks = []
+    for _ in range(1500):
+        chunks.append(random_seq(rng, 120))
+        chunks.append("AG" * 25)
+    seq = "".join(chunks)
+    k = 2
+    oc, on = count_spectrum(seq, k)
+    ranks = weighted_ranks(oc, float(on))
+    expect = find_regions(seq, 0, 5, 1.0, ranks, k, 0.5)
+    beg, end, score, _ = native.find_spans(_nbases(seq), k, ranks, 0.5, 5, 1.0)
+    assert len(beg) == len(expect)
+    assert len(beg) > 1024  # exercised the regrow path
+    assert list(score) == [e[3] for e in expect]

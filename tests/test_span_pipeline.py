@@ -1,0 +1,88 @@
+"""Sparse device span pipeline (make_span_pipeline + finish_spans) vs oracle.
+
+Note: the fast pipeline uses mass/total ranks (can differ from the
+reference's sequential rank chain in the last ulp), so region positions
+must match the oracle exactly while scores match to ~1e-9 relative.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from kmer_spans_tpu.encoding import pack
+from kmer_spans_tpu.oracle import count_spectrum, find_regions, weighted_ranks
+from kmer_spans_tpu.spans.pipeline import finish_spans, make_span_pipeline
+from kmer_spans_tpu.stats.ranks import cumulative_mass
+
+from conftest import random_seq
+
+
+def _nbases(seq):
+    p = pack(seq)
+    nb = p.bases.copy()
+    nb[~p.valid] = 4
+    return nb
+
+
+def _run_pipeline(seq, k, thr, min_w, min_s, block=1024, cand=32):
+    nb = _nbases(seq)
+    n = len(nb)
+    npad = -(-n // block) * block
+    arr = np.full(npad, 4, np.uint8)
+    arr[:n] = nb
+    fn = make_span_pipeline(k, block=block, cand_blocks=cand)
+    out = fn(jnp.asarray(arr), jnp.float32(thr))
+    return finish_spans(out, npad, thr, min_w, min_s, block=block)
+
+
+def _mass_rank_regions(seq, k, thr, min_w, min_s):
+    """Oracle regions but with mass/total ranks (the fast path's tables)."""
+    counts, n = count_spectrum(seq, k)
+    mass = cumulative_mass(counts)
+    ranks = mass.astype(np.float64) / float(n)
+    return find_regions(seq, 0, min_w, min_s, ranks, k, thr)
+
+
+@pytest.mark.parametrize("seed", range(5))
+def test_sparse_pipeline_matches_oracle(seed):
+    rng = np.random.default_rng(seed)
+    seq = random_seq(rng, 40_000, n_prob=0.005)
+    # plant islands to force emissions
+    s = list(seq)
+    s[5000:5400] = "AG" * 200
+    s[22000:22600] = "CCT" * 200
+    seq = "".join(s)
+    k, thr, min_w, min_s = 4, 0.75, 30, 5.0
+    res = _run_pipeline(seq, k, thr, min_w, min_s)
+    assert not res.fallback
+    expect = _mass_rank_regions(seq, k, thr, min_w, min_s)
+    assert [(r[1], r[2]) for r in res.regions] == [(e[1], e[2]) for e in expect]
+    for r, e in zip(res.regions, expect):
+        assert r[3] == pytest.approx(e[3], rel=1e-9)
+
+
+def test_sparse_pipeline_no_candidates():
+    rng = np.random.default_rng(9)
+    seq = random_seq(rng, 8_000)
+    res = _run_pipeline(seq, 4, 0.75, 100, 1000.0)
+    assert res.regions == [] and not res.fallback
+
+
+def test_sparse_pipeline_fallback_on_overflow():
+    # every block a candidate but capacity tiny -> fallback flagged
+    seq = ("AG" * 600 + "ACGTTACG" * 100) * 30
+    res = _run_pipeline(seq, 2, 0.3, 5, 0.5, block=256, cand=4)
+    assert res.fallback
+
+
+def test_sparse_pipeline_island_across_blocks():
+    rng = np.random.default_rng(11)
+    seq = random_seq(rng, 16_000)
+    s = list(seq)
+    s[3000:5100] = "TTAGGC" * 350  # island spanning multiple 1024-blocks
+    seq = "".join(s)
+    res = _run_pipeline(seq, 4, 0.75, 50, 5.0)
+    assert not res.fallback
+    expect = _mass_rank_regions(seq, 4, 0.75, 50, 5.0)
+    assert [(r[1], r[2]) for r in res.regions] == [(e[1], e[2]) for e in expect]
+    assert len(res.regions) >= 1
