@@ -89,28 +89,59 @@ def blocked_scored(valid2d: jax.Array, kmer_valid: jax.Array, next_valid=None):
     return kmer_valid & nxt
 
 
-def blocked_scan_prefixes(s2d: jax.Array, scored2d: jax.Array):
+def blocked_scan_prefixes(
+    s2d: jax.Array, scored2d: jax.Array, rows_per_step: int = 64
+):
     """Inclusive max-plus prefix transforms over row-major [nb, B] tiles.
 
     Returns (FA, FB, (tA, tB)): the composed prefix transform at every
     position — S at (i, j) for incoming state x is max(x + FA[i,j],
     FB[i,j]) — plus the whole-array transform scalars for cross-chunk /
     cross-device carries.
+
+    Scan-of-scans structure: a lax.scan over groups of ``rows_per_step``
+    rows, each group handled by a parallel associative_scan along lanes —
+    the XLA program contains ONE small loop body instead of log2(n) levels
+    of full-array slicing, which keeps TPU compile time flat in n (the
+    fully-unrolled variant took the compiler out at 50M elements).
     """
     neg = jnp.array(-jnp.inf, dtype=s2d.dtype)
+    nb, B = s2d.shape
     a = jnp.where(scored2d, s2d, neg)
     b = jnp.zeros_like(s2d)
-    A, Bv = jax.lax.associative_scan(_combine, (a, b), axis=1)
-    # compose row totals across rows (exclusive per row)
-    tA, tB = A[:, -1], Bv[:, -1]
-    cA, cB = jax.lax.associative_scan(_combine, (tA, tB))
-    zero = jnp.zeros((1,), s2d.dtype)
-    RA = jnp.concatenate([zero, cA[:-1]])
-    RB = jnp.concatenate([jnp.full((1,), -jnp.inf, s2d.dtype), cB[:-1]])
-    # full prefix = row_exclusive ∘ intra_row
-    FA = RA[:, None] + A
-    FB = jnp.maximum(RB[:, None] + A, Bv)
-    return FA, FB, (cA[-1], cB[-1])
+    R = min(rows_per_step, nb)
+    pad_rows = (-nb) % R
+    if pad_rows:
+        # identity elements f(x) = x: (a, b) = (0, -inf)
+        a = jnp.concatenate([a, jnp.zeros((pad_rows, B), a.dtype)])
+        b = jnp.concatenate([b, jnp.full((pad_rows, B), neg, b.dtype)])
+    G = a.shape[0] // R
+    a3 = a.reshape(G, R, B)
+    b3 = b.reshape(G, R, B)
+
+    def body(carry, xs):
+        inA, inB = carry
+        ar, br = xs  # [R, B]
+        A, Bv = jax.lax.associative_scan(_combine, (ar, br), axis=1)
+        tA, tB = A[:, -1], Bv[:, -1]
+        cA, cB = jax.lax.associative_scan(_combine, (tA, tB))
+        zero = jnp.zeros((1,), ar.dtype)
+        RA = jnp.concatenate([zero, cA[:-1]])
+        RB = jnp.concatenate([jnp.full((1,), -jnp.inf, ar.dtype), cB[:-1]])
+        # incoming carry ∘ row-exclusive-within-group
+        fullRA = inA + RA
+        fullRB = jnp.maximum(inB + RA, RB)
+        FA = fullRA[:, None] + A
+        FB = jnp.maximum(fullRB[:, None] + A, Bv)
+        newA = inA + cA[-1]
+        newB = jnp.maximum(inB + cA[-1], cB[-1])
+        return (newA, newB), (FA, FB)
+
+    init = (jnp.zeros((), s2d.dtype), jnp.full((), neg, s2d.dtype))
+    (tA, tB), (FA3, FB3) = jax.lax.scan(body, init, (a3, b3))
+    FA = FA3.reshape(-1, B)[:nb]
+    FB = FB3.reshape(-1, B)[:nb]
+    return FA, FB, (tA, tB)
 
 
 def blocked_scan(s2d: jax.Array, scored2d: jax.Array):
