@@ -1,0 +1,345 @@
+"""Streaming span pipeline: genomes of any size through fixed-shape chunks.
+
+Two compiled programs (shapes fixed => exactly two XLA compiles per (k,
+chunk) config, however large the genome):
+
+  * count_chunk(nbases)                  -> partial spectrum (device accum)
+  * scan_chunk(nbases, mass, carry, ...) -> block summaries + candidate
+                                            gather + chunk transform
+
+The scan state crosses chunk boundaries by max-plus transform composition
+(S_next = max(S_in + A, B)); the first k-1 positions of each chunk see the
+previous chunk's tail bases via an explicit halo argument, and the scored
+rule's lookahead byte rides in the same way — a chunk boundary is neither
+an N gap nor a genome end.
+
+Host-side, spans are extracted per chunk from the candidate blocks
+(spans/extract.py exact replay); excursions that straddle a boundary are
+stitched from each chunk's pulled tail/head blocks.  If a straddling
+excursion extends beyond the pulled margin the pipeline reports it in
+``unresolved`` rather than guessing (callers rerun those windows through
+the exact api path).
+
+Reference parity: this is the TPU-native replacement for processing a
+48 Mb scaffold in one sequential C call (test.R:128-140) — SURVEY §5.7.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class StreamResult:
+    regions: list  # (seq_id, beg, end, score) global 1-based coords
+    n_kmers: int
+    unresolved: list  # (chunk_idx, reason) windows needing exact rerun
+    counts_device: object  # device array, 4^k (pull lazily if needed)
+
+
+class StreamingSpanPipeline:
+    """count -> rank -> scan over fixed-size chunks with exact stitching."""
+
+    def __init__(
+        self,
+        k: int,
+        chunk_bases: int = 1 << 25,
+        block: int = 8192,
+        cand_blocks: int = 128,
+        margin_blocks: int = 16,
+    ):
+        import jax
+        import jax.numpy as jnp
+
+        from ..ops.blocked import (
+            blocked_codes,
+            blocked_scan_prefixes,
+            blocked_scored,
+        )
+        from .pipeline import _rank_mass
+        from ..spans.pipeline import _seg_max_combine
+        from ..ops.scan import _combine
+
+        if chunk_bases % block:
+            raise ValueError("chunk_bases must be a multiple of block")
+        self.k = k
+        self.block = block
+        self.chunk = chunk_bases
+        self.cand = cand_blocks
+        self.margin = margin_blocks
+        nb = chunk_bases // block
+        size = 1 << (2 * k)
+        h = k - 1
+
+        @jax.jit
+        def count_chunk(nbases, acc, halo_b, halo_v):
+            b2 = (nbases & 3).reshape(nb, block)
+            v2 = (nbases < 4).reshape(nb, block)
+            codes, kv = blocked_codes(
+                b2, v2, k, first_bases=halo_b, first_valid=halo_v
+            )
+            codes = jnp.where(kv, codes, 0)
+            return acc.at[codes].add(kv.astype(jnp.int32))
+
+        @jax.jit
+        def rank(acc):
+            return _rank_mass(acc), jnp.sum(acc)
+
+        @jax.jit
+        def scan_chunk(nbases, mass, total32, thr, cA_in, cB_in,
+                       halo_b, halo_v, next_v):
+            b2 = (nbases & 3).reshape(nb, block)
+            v2 = (nbases < 4).reshape(nb, block)
+            codes, kv = blocked_codes(
+                b2, v2, k, first_bases=halo_b, first_valid=halo_v
+            )
+            scored = blocked_scored(v2, kv, next_valid=next_v)
+            codes = jnp.where(kv, codes, 0)
+            pm = mass[codes]
+            s = (pm.astype(jnp.float32) - thr * total32) / total32
+            FA, FB, (tA, tB) = blocked_scan_prefixes(s, scored)
+            S = jnp.maximum(cA_in + FA, jnp.maximum(cB_in + FA, FB))
+            # NOTE: incoming state x = max(cA_in, cB_in) applied to (FA,FB):
+            # S = max(x + FA, FB); written as above because x >= 0 always
+            # (it IS a score), so max(cA_in, cB_in) + FA == max(cA_in+FA,
+            # cB_in+FA).
+            block_max = S.reshape(nb, block).max(axis=1)
+            block_last = S.reshape(nb, block)[:, -1]
+            linked = jnp.concatenate(
+                [jnp.zeros((1,), bool), block_last[:-1] > 0])
+            fwd, _ = jax.lax.associative_scan(
+                _seg_max_combine, (block_max, (~linked).astype(jnp.float32)))
+            linked_next = jnp.concatenate([linked[1:], jnp.zeros((1,), bool)])
+            bwd, _ = jax.lax.associative_scan(
+                _seg_max_combine,
+                (jnp.flip(block_max),
+                 jnp.flip((~linked_next).astype(jnp.float32))))
+            run_max = jnp.maximum(fwd, jnp.flip(bwd))
+            top_need, top_idx = jax.lax.top_k(run_max, min(self.cand, nb))
+            top_idx = jnp.sort(top_idx)
+            # compose the outgoing carry: in ∘ chunk transform
+            cA_out = cA_in + tA
+            cB_out = jnp.maximum(cB_in + tA, tB)
+            m = self.margin
+            return {
+                "block_last": block_last,
+                "run_max": run_max,
+                "top_idx": top_idx,
+                "pm": pm[top_idx],
+                "scored": scored[top_idx],
+                "pm_head": pm[:m],
+                "scored_head": scored[:m],
+                "pm_tail": pm[-m:],
+                "scored_tail": scored[-m:],
+                "cA": cA_out,
+                "cB": cB_out,
+                "tail_b": nbases[-h:] if h else jnp.zeros((0,), nbases.dtype),
+            }
+
+        self._count = count_chunk
+        self._rank = rank
+        self._scan = scan_chunk
+        self._size = size
+        self._nb = nb
+        self._jnp = jnp
+
+    def run(self, chunk_iter_factory, thr, min_width, min_score,
+            seq_id: int = 0) -> StreamResult:
+        """Run the two-pass pipeline.
+
+        chunk_iter_factory: zero-arg callable returning an iterator of
+        uint8 numpy arrays (nbases; N encoded as 4), each exactly
+        chunk_bases long except the last (which is padded with N here).
+        The factory is called twice (count pass, scan pass).
+        """
+        import jax
+        import jax.numpy as jnp
+
+        from ..spans.extract import extract_spans
+
+        k, block, nb = self.k, self.block, self._nb
+        h = k - 1
+
+        acc = jnp.zeros(self._size, jnp.int32)
+        chunk_lens = []
+        prev_tail = np.full(h, 4, np.uint8)  # N: genome start has no halo
+        for arr in chunk_iter_factory():
+            arr = self._pad(arr)
+            chunk_lens.append(arr.shape[0])
+            acc = self._count(
+                jnp.asarray(arr), acc,
+                jnp.asarray(prev_tail & 3), jnp.asarray(prev_tail < 4),
+            )
+            if h:
+                prev_tail = arr[-h:]
+        mass, total = self._rank(acc)
+        total_i = int(total)
+        total32 = jnp.float32(total_i)
+
+        regions: list = []
+        unresolved: list = []
+        cA = jnp.float32(0.0)
+        cB = jnp.float32(-np.inf)
+        halo_b = jnp.zeros((h,), jnp.uint8)
+        halo_v = jnp.zeros((h,), bool)
+        thr32 = jnp.float32(thr)
+
+        # host-side stitching state: open excursion s-values at boundary
+        open_s: np.ndarray | None = None
+        open_scored: np.ndarray | None = None
+        open_start: int = 0  # global 0-based position of open_s[0]
+
+        chunks = list(chunk_iter_factory())
+        base = 0
+        for ci, raw in enumerate(chunks):
+            arr = self._pad(raw)
+            dev = jnp.asarray(arr)
+            is_last = ci == len(chunks) - 1
+            next_v = jnp.asarray(
+                False if is_last else chunks[ci + 1][0] != 4)
+            out = self._scan(dev, mass, total32, thr32, cA, cB,
+                             halo_b, halo_v, next_v)
+            cA, cB = out["cA"], out["cB"]
+            halo_b = out["tail_b"] & 3
+            halo_v = (out["tail_b"] < 4)
+
+            res, open_next = self._finish_chunk(
+                out, base, thr, total_i, min_width, min_score, seq_id,
+                open_s, open_scored, open_start, unresolved, ci,
+            )
+            regions.extend(res)
+            open_s, open_scored, open_start = open_next
+            base += arr.shape[0]
+
+        # genome end: resolve any open excursion (terminal semantics were
+        # already applied inside the final chunk because next_v=False)
+        return StreamResult(
+            regions=regions, n_kmers=total_i, unresolved=unresolved,
+            counts_device=acc,
+        )
+
+    def _pad(self, arr: np.ndarray) -> np.ndarray:
+        n = arr.shape[0]
+        if n == self.chunk:
+            return arr
+        if n > self.chunk:
+            raise ValueError("chunk longer than configured chunk_bases")
+        out = np.full(self.chunk, 4, np.uint8)
+        out[:n] = arr
+        return out
+
+    def _finish_chunk(self, out, base, thr, total, min_width, min_score,
+                      seq_id, open_s, open_scored, open_start,
+                      unresolved, ci):
+        """Extract this chunk's spans + stitch the boundary excursion.
+
+        Ownership protocol (prevents double emission):
+          * the BOUNDARY replay owns the whole excursion that straddles the
+            incoming chunk edge — all its regions on both sides — up to its
+            exact end E;
+          * the IN-CHUNK pass owns (E, next_open_start): candidate stretch
+            positions outside that window are masked unscored;
+          * the excursion open at the OUTGOING edge (start found from the
+            device block_last chain) is handed to the next chunk.
+        """
+        from ..spans.extract import _first_nonpositive, extract_spans
+
+        block, nb, m = self.block, self._nb, self.margin
+        run_max = np.asarray(out["run_max"])
+        last = np.asarray(out["block_last"])
+        top_idx = np.asarray(out["top_idx"])
+        pm_c = np.asarray(out["pm"])
+        sc_c = np.asarray(out["scored"])
+        margin = 1e-3 * (1.0 + abs(min_score))
+        cand = run_max >= (min_score - margin)
+        have = np.zeros(nb, bool)
+        have[top_idx] = True
+        pos_in_pull = {int(b): i for i, b in enumerate(top_idx)}
+
+        def s_of(pm_rows, sc_rows):
+            pmf = np.asarray(pm_rows).reshape(-1).astype(np.float64)
+            scf = np.asarray(sc_rows).reshape(-1)
+            return np.where(scf, pmf / total - thr, 0.0), scf
+
+        regions = []
+
+        # --- A. outgoing open excursion (start located via block_last) ---
+        open_next = (None, None, 0)
+        clip_from_global = None  # in-chunk pass must not extract past this
+        if last[-1] > 0:
+            nonpos = np.nonzero(last <= 0)[0]
+            b0 = (int(nonpos[-1]) + 1) if nonpos.size else 0
+            if b0 < nb - m:
+                unresolved.append((ci, "open excursion exceeds tail margin"))
+            else:
+                tail_s, tail_sc = s_of(out["pm_tail"], out["scored_tail"])
+                rel0 = (b0 - (nb - m)) * block  # chain start within margin
+                # screen from the chain start (true S there is 0)
+                seg = tail_s[rel0:]
+                P = np.cumsum(seg)
+                Mn = np.minimum.accumulate(np.minimum(P, 0.0))
+                S = P - Mn
+                zero = np.nonzero(S <= 0)[0]
+                start_rel = rel0 + (int(zero[-1]) + 1 if zero.size else 0)
+                if start_rel >= tail_s.shape[0]:
+                    # S>0 at the edge but no s>0 start inside? clamp
+                    start_rel = tail_s.shape[0] - 1
+                open_next = (
+                    tail_s[start_rel:],
+                    tail_sc[start_rel:],
+                    base + (nb - m) * block + start_rel,
+                )
+                clip_from_global = open_next[2]
+
+        # --- B. incoming boundary excursion: owned here entirely ----------
+        boundary_done_global = base - 1  # in-chunk pass starts after this
+        if open_s is not None:
+            head_s, head_sc = s_of(out["pm_head"], out["scored_head"])
+            joined_s = np.concatenate([open_s, head_s])
+            joined_sc = np.concatenate([open_scored, head_sc])
+            vals, z = _first_nonpositive(joined_s, 0)
+            if z is None:
+                unresolved.append(
+                    (ci, "boundary excursion exceeds head margin"))
+                boundary_done_global = base + m * block  # best effort
+            else:
+                clip = z + 1
+                regs = extract_spans(joined_s[:clip], joined_sc[:clip],
+                                     min_width, min_score, seq_id=seq_id)
+                regions.extend(
+                    (sid, open_start + beg, open_start + end, sc)
+                    for sid, beg, end, sc in regs
+                )
+                boundary_done_global = open_start + z
+
+        # --- C. in-chunk candidate extraction with ownership masking ------
+        if cand.any():
+            if (cand & ~have).any():
+                unresolved.append((ci, "candidate capacity overflow"))
+            else:
+                i = 0
+                while i < nb:
+                    if not cand[i]:
+                        i += 1
+                        continue
+                    j = i
+                    while j + 1 < nb and cand[j + 1]:
+                        j += 1
+                    rows = [pos_in_pull[b] for b in range(i, j + 1)]
+                    s_flat, sc_flat = s_of(pm_c[rows], sc_c[rows])
+                    bp = base + i * block  # global pos of s_flat[0]
+                    gpos = bp + np.arange(s_flat.shape[0])
+                    mask = gpos <= boundary_done_global
+                    if clip_from_global is not None:
+                        mask |= gpos >= clip_from_global
+                    sc_flat = sc_flat & ~mask
+                    regs = extract_spans(s_flat, sc_flat, min_width,
+                                         min_score, seq_id=seq_id)
+                    regions.extend(
+                        (sid, beg + bp, end + bp, sc)
+                        for sid, beg, end, sc in regs
+                    )
+                    i = j + 1
+        return regions, open_next

@@ -99,16 +99,16 @@ def make_span_pipeline(k: int, block: int = 8192, cand_blocks: int = 128):
         need = run_max
         top_need, top_idx = jax.lax.top_k(need, min(cand_blocks, nb))
         top_idx = jnp.sort(top_idx)
+        # NOTE: only fixed-size, finisher-required outputs — every extra MB
+        # here is a D2H pull on the critical path
         return {
             "counts": counts,
             "total": jnp.sum(counts),
-            "block_max": block_max,
             "block_last": block_last,
             "run_max": run_max,
             "top_idx": top_idx,
             "pm": pm[top_idx],
             "scored": scored[top_idx],
-            "S_blocks": Sb[top_idx],
         }
 
     return fn

@@ -99,3 +99,23 @@ def test_span_scan_carry_composes():
     np.testing.assert_allclose(
         np.asarray(S2_fixed), np.asarray(S_full)[1000:], rtol=1e-12
     )
+
+
+@pytest.mark.parametrize("k", [2, 4, 8])
+def test_mxu_count_matches_oracle(rng, k):
+    from kmer_spans_tpu.ops.mxu import mxu_count_spectrum
+    from kmer_spans_tpu.ops.blocked import blocked_codes
+
+    seq = _rand(rng, 40_000, n_prob=0.01)
+    p = pack(seq)
+    oracle_counts, n = count_spectrum(p, k)
+    block = 512
+    npad = -(-p.n // block) * block
+    b = np.zeros(npad, np.uint8); b[: p.n] = p.bases
+    v = np.zeros(npad, bool); v[: p.n] = p.valid
+    codes, kv = blocked_codes(
+        jnp.asarray(b).reshape(-1, block).astype(jnp.int32),
+        jnp.asarray(v).reshape(-1, block), k,
+    )
+    dev = np.asarray(mxu_count_spectrum(codes, kv, k))
+    assert (dev == oracle_counts).all()
