@@ -326,6 +326,7 @@ def window_kmer_dist(
         raise ValueError("kmer sizes >= 16 not supported")
     if window < 2 * k:
         raise ValueError("the window size must be at least two times k")
+    backend = _resolve_backend(backend)
     tracked = np.array([kmer_to_code(x) for x in kmers], dtype=np.int64)
     packed = _as_seq_list(seqs)
     dist = np.zeros((window + 1, len(kmers)), dtype=np.int64)
@@ -341,7 +342,17 @@ def window_kmer_dist(
         if scores is not None:
             counts_pos = np.zeros((p.n, len(kmers)), dtype=np.int64)
             scores.append(counts_pos)
-        oracle.windowed_distributions(p, tracked, k, window, dist, counts_pos)
+        if backend == "jax":
+            from .parallel.device import device_window_dist
+
+            d, cpos = device_window_dist(p, tracked, k, window,
+                                         counts_pos is not None)
+            dist += d
+            if counts_pos is not None:
+                counts_pos[:] = cpos
+        else:
+            oracle.windowed_distributions(
+                p, tracked, k, window, dist, counts_pos)
     out = dist.astype(np.float64)
     if freq:
         colsum = out.sum(axis=0)

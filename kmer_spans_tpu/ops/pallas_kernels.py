@@ -1,0 +1,98 @@
+"""Pallas TPU kernels for the histogram/gather hot path.
+
+pallas_count_spectrum: the spectrum histogram as a fused one-hot MXU
+matmul.  Per grid step a [T]-tile of codes becomes two one-hot matrices
+IN VMEM (never materialized to HBM) and feeds the MXU:
+
+    counts[hi, lo] += OHT[hi, t] @ OL[t, lo]
+
+bf16 one-hots with f32 accumulation are exact (products are 0/1 and
+per-step sums are <= T < 2^24); the f32 tile is added into the int32
+output block, which Pallas revisits across the whole grid (constant
+index_map).  HBM traffic is just the codes stream — the XLA scatter-add
+path moves the same data but serializes duplicate indices.
+
+Only for k <= PALLAS_COUNT_MAX_K (one-hot width 4^k/128 rows must fit
+VMEM); larger k uses scatter (ops/count.py).
+
+Reference parity: replaces sequence_kmer_count's sequential increment
+loop (src/kmer_spans.c:135-155).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_LANES = 128
+PALLAS_COUNT_MAX_K = 8  # 4^8/128 = 512 one-hot rows
+
+
+def _count_kernel(codes_ref, out_ref, acc_ref, *, hi_n, tile):
+    step = pl.program_id(0)
+
+    @pl.when(step == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    codes = codes_ref[0]  # [1, T] int32; invalid encoded as -1
+    hi = codes >> 7
+    lo = codes & (_LANES - 1)
+    # both one-hots laid out [*, T] — broadcasts along sublanes only, no
+    # transposes/reshapes (Mosaic relayout-free); contract T against T.
+    iota_hi = jax.lax.broadcasted_iota(jnp.int32, (hi_n, tile), 0)
+    iota_lo = jax.lax.broadcasted_iota(jnp.int32, (_LANES, tile), 0)
+    oht = (jnp.broadcast_to(hi, (hi_n, tile)) == iota_hi).astype(
+        jnp.bfloat16)  # [hi_n, T]
+    olt = (jnp.broadcast_to(lo, (_LANES, tile)) == iota_lo).astype(
+        jnp.bfloat16)  # [128, T]
+    acc_ref[:] += jax.lax.dot_general(
+        oht, olt,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(step == pl.num_programs(0) - 1)
+    def _finish():
+        out_ref[:] = acc_ref[:].astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "tile"))
+def pallas_count_spectrum(
+    codes: jax.Array, kmer_valid: jax.Array, k: int, tile: int = 2048
+):
+    """Dense 4^k int32 spectrum from codes (any shape) + validity mask."""
+    size = 1 << (2 * k)
+    if size < _LANES:
+        idx = jnp.where(kmer_valid, codes, 0)
+        return jnp.zeros(size, jnp.int32).at[idx].add(
+            kmer_valid.astype(jnp.int32)
+        )
+    hi_n = size // _LANES
+    flat = jnp.where(kmer_valid, codes, -1).reshape(-1)
+    n = flat.shape[0]
+    pad = (-n) % tile
+    if pad:
+        flat = jnp.concatenate([flat, jnp.full((pad,), -1, flat.dtype)])
+    g = flat.shape[0] // tile
+    # TPU block shapes: last two dims must be (8m, 128n) or the full array
+    # dims — [g, 1, tile] with block (1, 1, tile) satisfies the latter
+    flat = flat.reshape(g, 1, tile)
+    counts2d = pl.pallas_call(
+        functools.partial(_count_kernel, hi_n=hi_n, tile=tile),
+        grid=(g,),
+        in_specs=[
+            pl.BlockSpec((1, 1, tile), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((hi_n, _LANES), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((hi_n, _LANES), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((hi_n, _LANES), jnp.float32)],
+        interpret=jax.default_backend() == "cpu",  # tests run on CPU
+    )(flat)
+    return counts2d.reshape(size)

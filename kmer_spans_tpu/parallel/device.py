@@ -64,3 +64,31 @@ def device_codes_scored(p: PackedSeq, k: int):
     bases, valid = _staged(p)
     codes, _, scored = kmer_codes(bases, valid, k)
     return np.asarray(codes)[: p.n], np.asarray(scored)[: p.n]
+
+
+def device_window_dist(p: PackedSeq, tracked, k: int, window: int,
+                       with_positions: bool, block: int = 8192):
+    """Windowed k-mer distributions for one sequence (ops/window.py)."""
+    import jax.numpy as jnp
+
+    from ..ops.blocked import blocked_codes
+    from ..ops.window import windowed_counts_device
+
+    npad = -(-p.n // block) * block
+    b = np.zeros(npad, dtype=np.uint8)
+    b[: p.n] = p.bases
+    v = np.zeros(npad, dtype=bool)
+    v[: p.n] = p.valid
+    b2 = jnp.asarray(b).reshape(-1, block).astype(jnp.int32)
+    v2 = jnp.asarray(v).reshape(-1, block)
+    codes, kv = blocked_codes(b2, v2, k)
+    codes = jnp.where(kv, codes, 0)
+    tr = jnp.asarray(np.asarray(tracked, dtype=np.int32))
+    dist, cpos, _ = windowed_counts_device(
+        codes, kv, v2, tr, k, window, with_positions=with_positions
+    )
+    dist_np = np.asarray(dist).astype(np.int64)
+    cpos_np = None
+    if with_positions:
+        cpos_np = np.asarray(cpos)[:, : p.n].T.astype(np.int64)
+    return dist_np, cpos_np

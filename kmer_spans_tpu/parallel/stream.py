@@ -27,6 +27,7 @@ Reference parity: this is the TPU-native replacement for processing a
 from __future__ import annotations
 
 import dataclasses
+import os
 
 import numpy as np
 
@@ -146,13 +147,21 @@ class StreamingSpanPipeline:
         self._jnp = jnp
 
     def run(self, chunk_iter_factory, thr, min_width, min_score,
-            seq_id: int = 0) -> StreamResult:
+            seq_id: int = 0, checkpoint_path: str | None = None,
+            resume: bool = False, metrics=None,
+            stop_after_chunk: int | None = None) -> StreamResult:
         """Run the two-pass pipeline.
 
         chunk_iter_factory: zero-arg callable returning an iterator of
         uint8 numpy arrays (nbases; N encoded as 4), each exactly
         chunk_bases long except the last (which is padded with N here).
         The factory is called twice (count pass, scan pass).
+
+        checkpoint_path: if set, the scan pass saves a StreamCheckpoint
+        after every chunk; with resume=True and an existing checkpoint,
+        the scan pass restarts after the last completed chunk (SURVEY
+        §5.3: chunk-granularity elastic recovery).
+        metrics: optional utils.metrics.Metrics recorder.
         """
         import jax
         import jax.numpy as jnp
@@ -162,20 +171,30 @@ class StreamingSpanPipeline:
         k, block, nb = self.k, self.block, self._nb
         h = k - 1
 
+        import contextlib
+        import time as _time
+
+        def _phase(name, bases=0, **kw):
+            if metrics is None:
+                return contextlib.nullcontext()
+            return metrics.phase(name, bases=bases, **kw)
+
         acc = jnp.zeros(self._size, jnp.int32)
         chunk_lens = []
         prev_tail = np.full(h, 4, np.uint8)  # N: genome start has no halo
-        for arr in chunk_iter_factory():
-            arr = self._pad(arr)
-            chunk_lens.append(arr.shape[0])
-            acc = self._count(
-                jnp.asarray(arr), acc,
-                jnp.asarray(prev_tail & 3), jnp.asarray(prev_tail < 4),
-            )
-            if h:
-                prev_tail = arr[-h:]
-        mass, total = self._rank(acc)
-        total_i = int(total)
+        with _phase("count"):
+            for arr in chunk_iter_factory():
+                arr = self._pad(arr)
+                chunk_lens.append(arr.shape[0])
+                acc = self._count(
+                    jnp.asarray(arr), acc,
+                    jnp.asarray(prev_tail & 3), jnp.asarray(prev_tail < 4),
+                )
+                if h:
+                    prev_tail = arr[-h:]
+        with _phase("rank"):
+            mass, total = self._rank(acc)
+            total_i = int(total)
         total32 = jnp.float32(total_i)
 
         regions: list = []
@@ -190,15 +209,37 @@ class StreamingSpanPipeline:
         open_s: np.ndarray | None = None
         open_scored: np.ndarray | None = None
         open_start: int = 0  # global 0-based position of open_s[0]
+        start_chunk = 0
+
+        if checkpoint_path and resume and os.path.exists(checkpoint_path):
+            from ..io.checkpoint import StreamCheckpoint
+
+            ck = StreamCheckpoint.load(checkpoint_path)
+            start_chunk = ck.chunk_idx + 1
+            cA = jnp.float32(ck.cA)
+            cB = jnp.float32(ck.cB)
+            tail = np.frombuffer(ck.halo_bytes, dtype=np.uint8)
+            if h:
+                halo_b = jnp.asarray(tail & 3)
+                halo_v = jnp.asarray(tail < 4)
+            open_s, open_scored = ck.open_s, ck.open_scored
+            open_start = ck.open_start
+            regions = list(ck.regions)
 
         chunks = list(chunk_iter_factory())
         base = 0
         for ci, raw in enumerate(chunks):
             arr = self._pad(raw)
+            if ci < start_chunk:
+                base += arr.shape[0]
+                continue
+            if stop_after_chunk is not None and ci > stop_after_chunk:
+                break  # simulated interruption (scan resumes via checkpoint)
             dev = jnp.asarray(arr)
             is_last = ci == len(chunks) - 1
             next_v = jnp.asarray(
                 False if is_last else chunks[ci + 1][0] != 4)
+            t0 = _time.perf_counter()
             out = self._scan(dev, mass, total32, thr32, cA, cB,
                              halo_b, halo_v, next_v)
             cA, cB = out["cA"], out["cB"]
@@ -212,6 +253,28 @@ class StreamingSpanPipeline:
             regions.extend(res)
             open_s, open_scored, open_start = open_next
             base += arr.shape[0]
+            if metrics is not None:
+                metrics.record(
+                    "scan_chunk", _time.perf_counter() - t0,
+                    bases=arr.shape[0], chunk=ci, regions=len(regions),
+                )
+            if checkpoint_path:
+                from ..io.checkpoint import StreamCheckpoint
+
+                tail_np = np.asarray(out["tail_b"]) if h else np.zeros(
+                    0, np.uint8)
+                StreamCheckpoint(
+                    chunk_idx=ci,
+                    cA=float(np.asarray(cA)),
+                    cB=float(np.asarray(cB)),
+                    halo_bytes=(
+                        arr[-h:].tobytes() if h else b""
+                    ),
+                    open_start=open_start,
+                    open_s=open_s,
+                    open_scored=open_scored,
+                    regions=regions,
+                ).save(checkpoint_path)
 
         # genome end: resolve any open excursion (terminal semantics were
         # already applied inside the final chunk because next_v=False)

@@ -56,7 +56,16 @@ def make_span_pipeline(k: int, block: int = 8192, cand_blocks: int = 128):
         blocked_scan,
         blocked_scored,
     )
+    from ..ops.mxu import mxu_gather_f32
+    from ..ops.pallas_kernels import PALLAS_COUNT_MAX_K, pallas_count_spectrum
     from ..parallel.pipeline import _rank_mass
+
+    # NOTE: the one-hot MXU count/gather paths (ops/mxu.py,
+    # ops/pallas_kernels.py) measured VPU-bound on one-hot generation
+    # (~(4^k/128 + 128) compares per element) and lose to XLA
+    # scatter/gather at 50M scale; disabled pending a Mosaic
+    # dynamic-gather kernel.  Set True to experiment (k in [4, 8]).
+    fast_k = False and 4 <= k <= PALLAS_COUNT_MAX_K
 
     @jax.jit
     def fn(nbases, thr):
@@ -68,13 +77,19 @@ def make_span_pipeline(k: int, block: int = 8192, cand_blocks: int = 128):
         scored = blocked_scored(v2, kmer_valid)
         codes = jnp.where(kmer_valid, codes, 0)
         size = 1 << (2 * k)
-        counts = jnp.zeros(size, jnp.int32).at[codes].add(
-            kmer_valid.astype(jnp.int32)
-        )
+        if fast_k:
+            counts = pallas_count_spectrum(codes, kmer_valid, k)
+        else:
+            counts = jnp.zeros(size, jnp.int32).at[codes].add(
+                kmer_valid.astype(jnp.int32)
+            )
         mass = _rank_mass(counts)
         total = jnp.sum(counts).astype(jnp.float32)
-        pm = mass[codes]
-        s = (pm.astype(jnp.float32) - thr * total) / total
+        if fast_k:
+            s_table = mass.astype(jnp.float32) / total - thr
+            s = mxu_gather_f32(s_table, codes)
+        else:
+            s = (mass[codes].astype(jnp.float32) - thr * total) / total
         Sb, _ = blocked_scan(s, scored)
 
         block_max = Sb.max(axis=1)
@@ -99,6 +114,8 @@ def make_span_pipeline(k: int, block: int = 8192, cand_blocks: int = 128):
         need = run_max
         top_need, top_idx = jax.lax.top_k(need, min(cand_blocks, nb))
         top_idx = jnp.sort(top_idx)
+        # exact integer mass only for the candidate blocks (small gather)
+        pm_cand = mass[codes[top_idx]]
         # NOTE: only fixed-size, finisher-required outputs — every extra MB
         # here is a D2H pull on the critical path
         return {
@@ -107,7 +124,7 @@ def make_span_pipeline(k: int, block: int = 8192, cand_blocks: int = 128):
             "block_last": block_last,
             "run_max": run_max,
             "top_idx": top_idx,
-            "pm": pm[top_idx],
+            "pm": pm_cand,
             "scored": scored[top_idx],
         }
 

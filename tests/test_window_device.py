@@ -1,0 +1,62 @@
+"""Device windowed-distribution engine vs the sequential oracle."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from kmer_spans_tpu.encoding import kmer_to_code, pack
+from kmer_spans_tpu.ops.blocked import blocked_codes
+from kmer_spans_tpu.ops.window import blocked_prefix_sum, windowed_counts_device
+from kmer_spans_tpu.oracle import windowed_distributions
+
+from conftest import random_seq
+
+
+def _device_window(seq, kmers, k, window, block=512):
+    p = pack(seq)
+    npad = -(-p.n // block) * block
+    b = np.zeros(npad, np.uint8)
+    b[: p.n] = p.bases
+    v = np.zeros(npad, bool)
+    v[: p.n] = p.valid
+    b2 = jnp.asarray(b).reshape(-1, block).astype(jnp.int32)
+    v2 = jnp.asarray(v).reshape(-1, block)
+    codes, kv = blocked_codes(b2, v2, k)
+    codes = jnp.where(kv, codes, 0)
+    tracked = jnp.asarray(
+        np.array([kmer_to_code(x) for x in kmers], dtype=np.int32))
+    dist, cpos, wv = windowed_counts_device(
+        codes, kv, v2, tracked, k, window, with_positions=True)
+    return np.asarray(dist), np.asarray(cpos)[:, : p.n], np.asarray(wv)
+
+
+def test_blocked_prefix_sum():
+    rng = np.random.default_rng(0)
+    x = rng.integers(0, 5, size=(70, 128)).astype(np.int32)
+    got = np.asarray(blocked_prefix_sum(jnp.asarray(x), rows_per_step=16))
+    np.testing.assert_array_equal(got.reshape(-1), np.cumsum(x.reshape(-1)))
+
+
+def test_device_window_hand_trace():
+    names = ["CG", "GC", "CC", "CA", "AA", "AT", "TG"]
+    expect = {"CG": (3, 2), "GC": (1, 4), "CC": (2, 3), "CA": (1, 4),
+              "AA": (0, 5), "AT": (1, 4), "TG": (2, 3)}
+    dist, cpos, wv = _device_window("CGCCAATGCG", names, 2, 6)
+    for i, nm in enumerate(names):
+        assert tuple(dist[:2, i]) == expect[nm], nm
+    assert list(cpos[0][:5]) == [1, 0, 0, 0, 1]  # CG per-window counts
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_device_window_matches_oracle(seed):
+    rng = np.random.default_rng(seed)
+    seq = random_seq(rng, 6000, n_prob=0.01)
+    kmers = ["ACG", "TTT", "GAG"]
+    k, window = 3, 24
+    tracked = np.array([kmer_to_code(x) for x in kmers])
+    oracle_dist = windowed_distributions(seq, tracked, k, window)
+    oracle_pos = np.zeros((len(seq), len(kmers)), dtype=np.int64)
+    windowed_distributions(seq, tracked, k, window, counts_pos=oracle_pos)
+    dist, cpos, wv = _device_window(seq, kmers, k, window)
+    np.testing.assert_array_equal(dist[: window + 1], oracle_dist)
+    np.testing.assert_array_equal(cpos.T, oracle_pos)
