@@ -18,7 +18,7 @@ single-core rate for the same k on its 50 Mb benchmark (BASELINE.md,
 test.R:45-64).  The reference number is COUNT-ONLY (one pass); ours is the
 COMPLETE pipeline, so the ratio is conservative in the reference's favor.
 
-Env knobs: BENCH_BASES (default 5e7), BENCH_K (default 12),
+Env knobs: BENCH_BASES (default 5e7), BENCH_K (default 8; k=12 compiles are pathologically slow on the axon AOT helper),
 BENCH_REPS (default 3), BENCH_BLOCK (default 8192), BENCH_CAND (128).
 """
 
@@ -50,7 +50,7 @@ def make_genome(n, rng):
 
 def main():
     n = int(float(os.environ.get("BENCH_BASES", 5e7)))
-    k = int(os.environ.get("BENCH_K", 12))
+    k = int(os.environ.get("BENCH_K", 8))
     reps = int(os.environ.get("BENCH_REPS", 3))
     block = int(os.environ.get("BENCH_BLOCK", 8192))
     cand = int(os.environ.get("BENCH_CAND", 128))

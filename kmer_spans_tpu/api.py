@@ -286,11 +286,22 @@ def lr_regions(
         code = kmer_to_code(kmer)
         ks[code] = kmer_scores[i]
         ts[code] = trans_scores[i]
+    backend = _resolve_backend(backend)
     packed = _as_seq_list(seqs)
     regions = []
     for i, p in enumerate(packed):
         # reference seq_id starts at 1 here (:699)
-        regions.extend(oracle.find_tr_regions(p, i + 1, k, ks, ts, min_length))
+        if backend == "jax":
+            from .parallel.device import device_tr_regions
+
+            regs, fallback = device_tr_regions(p, k, ks, ts, min_length,
+                                               seq_id=i + 1)
+            if fallback:
+                regs = oracle.find_tr_regions(p, i + 1, k, ks, ts, min_length)
+            regions.extend(regs)
+        else:
+            regions.extend(
+                oracle.find_tr_regions(p, i + 1, k, ks, ts, min_length))
     return LrRegionResult(
         kmer_scores=np.stack([ks, ts], axis=1),
         regions=_as_region_array(regions),

@@ -92,3 +92,28 @@ def device_window_dist(p: PackedSeq, tracked, k: int, window: int,
     if with_positions:
         cpos_np = np.asarray(cpos)[:, : p.n].T.astype(np.int64)
     return dist_np, cpos_np
+
+
+def device_tr_regions(p: PackedSeq, k: int, ks: np.ndarray, ts: np.ndarray,
+                      min_length: int, seq_id: int, block: int = 8192,
+                      cand_blocks: int = 128):
+    """Transition-score regions for one sequence (spans/tr_pipeline).
+
+    Note: device score tables are f32; emitted scores match the f64 oracle
+    to ~1e-6 relative (use backend="host" for bit-exact scores).
+    Returns (regions, fallback).
+    """
+    import jax.numpy as jnp
+
+    from ..spans.tr_pipeline import finish_tr_spans, make_tr_pipeline
+
+    nb = p.bases.copy()
+    nb[~p.valid] = 4
+    npad = -(-p.n // block) * block
+    arr = np.full(npad, 4, np.uint8)
+    arr[: p.n] = nb
+    fn = make_tr_pipeline(k, block=block, cand_blocks=cand_blocks)
+    out = fn(jnp.asarray(arr), jnp.asarray(ks.astype(np.float32)),
+             jnp.asarray(ts.astype(np.float32)))
+    res = finish_tr_spans(out, npad, min_length, block=block, seq_id=seq_id)
+    return res.regions, res.fallback

@@ -1,0 +1,99 @@
+"""Device transition-score pipeline vs the sequential oracle."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from kmer_spans_tpu.encoding import kmer_to_code, pack
+from kmer_spans_tpu.oracle import find_tr_regions
+from kmer_spans_tpu.spans.tr_pipeline import (
+    finish_tr_spans,
+    make_tr_pipeline,
+    replay_tr_segment,
+)
+
+from conftest import random_seq
+
+
+def _tables(k, cpg_seed=2.0, cpg_trans=2.0, other_seed=-1.0, other_trans=-0.5):
+    size = 1 << (2 * k)
+    ks = np.full(size, other_seed)
+    ts = np.full(size, other_trans)
+    ks[kmer_to_code("CG")] = cpg_seed
+    ts[kmer_to_code("CG")] = cpg_trans
+    return ks, ts
+
+
+def _run(seq, k, ks, ts, min_len, block=512, cand=32):
+    p = pack(seq)
+    nb = p.bases.copy()
+    nb[~p.valid] = 4
+    npad = -(-len(nb) // block) * block
+    arr = np.full(npad, 4, np.uint8)
+    arr[: len(nb)] = nb
+    fn = make_tr_pipeline(k, block=block, cand_blocks=cand)
+    out = fn(jnp.asarray(arr), jnp.asarray(ks.astype(np.float32)),
+             jnp.asarray(ts.astype(np.float32)))
+    return finish_tr_spans(out, npad, min_len, block=block, seq_id=1)
+
+
+def test_tr_pipeline_cpg_vector():
+    seq = "ATATATATCGCGCGCGCGCGATATATATATATATATCGCGCG"
+    ks, ts = _tables(2)
+    res = _run(seq, 2, ks, ts, 4)
+    assert not res.fallback
+    expect = find_tr_regions(seq, 1, 2, ks, ts, 4)
+    assert [(r[1], r[2]) for r in res.regions] == [
+        (e[1], e[2]) for e in expect]
+    assert res.regions[0][1:3] == (10, 20)
+    assert res.regions[0][3] == pytest.approx(9.5)
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_tr_pipeline_matches_oracle_random(seed):
+    rng = np.random.default_rng(30 + seed)
+    seq = random_seq(rng, 20_000, n_prob=0.01)
+    s = list(seq)
+    # plant CpG islands, some across block boundaries
+    for pos in (400, 3900, 8100, 15000):
+        s[pos : pos + 120] = "CG" * 60
+    seq = "".join(s)
+    ks, ts = _tables(2)
+    min_len = 20
+    res = _run(seq, 2, ks, ts, min_len)
+    assert not res.fallback
+    expect = find_tr_regions(seq, 1, 2, ks, ts, min_len)
+    got = sorted((r[1], r[2]) for r in res.regions)
+    exp = sorted((e[1], e[2]) for e in expect)
+    assert got == exp
+    gs = {(r[1], r[2]): r[3] for r in res.regions}
+    for e in expect:
+        # device tables are f32; replay works on the f32-rounded scores,
+        # bit-identical to an oracle fed the same f32-rounded tables
+        assert gs[(e[1], e[2])] == pytest.approx(e[3], rel=1e-6)
+
+
+def test_replay_tr_matches_oracle_direct():
+    """replay_tr_segment on exact f64 arrays == oracle on the sequence."""
+    rng = np.random.default_rng(99)
+    seq = random_seq(rng, 3000, n_prob=0.02)
+    s = list(seq)
+    s[1000:1100] = "CG" * 50
+    seq = "".join(s)
+    k = 2
+    ks, ts = _tables(k)
+    expect = find_tr_regions(seq, 1, k, ks, ts, 10)
+
+    from kmer_spans_tpu.encoding import kmer_codes_np
+
+    p = pack(seq)
+    codes, kv = kmer_codes_np(p, k)
+    prev_k = np.zeros(p.n, bool)
+    prev_k[k:] = p.valid[:-k]
+    seed = kv & ~prev_k
+    ext = kv & ~seed
+    regs = replay_tr_segment(
+        np.where(seed, ks[codes], 0.0), np.where(ext, ts[codes], 0.0),
+        seed, ext, 0, 10, 1,
+    )
+    assert regs == expect
