@@ -413,3 +413,60 @@ def read_kmers(fname):
     from .io.spectrum_file import read_kmers as _read
 
     return _read(fname)
+
+
+# ---------------------------------------------------------------------------
+# Unified scoring-variant span calling (README.md:25-54's three functions)
+# ---------------------------------------------------------------------------
+
+def kmer_spans(
+    seqs,
+    k: int,
+    scoring: str = "rank",
+    min_width: int = 100,
+    min_score: float = 20.0,
+    thr: float = 0.75,
+    f_t: float | None = None,
+    kmer_scores=None,
+    backend: str = "auto",
+) -> RegionResult:
+    """Span calling with any of the reference's scoring functions.
+
+    scoring:
+      * "rank"        — s = rank_i - thr (weighted-rank; the flagship
+                        kmer.low.comp.regions pipeline)
+      * "threshold"   — s = +1 if f_i >= f_t else -1 (README.md:34-42);
+                        f_t defaults to the weighted median frequency
+      * "log2_median" — s = log2(f_i / f_med) (README.md:27-32)
+      * "weights"     — arbitrary caller table (kmer.regions)
+    """
+    backend = _resolve_backend(backend)
+    packed = _as_seq_list(seqs)
+    if scoring == "weights":
+        if kmer_scores is None:
+            raise ValueError("scoring='weights' requires kmer_scores")
+        return kmer_regions(packed, k, kmer_scores, min_width, min_score,
+                            backend=backend)
+    cr = kmer_counts(packed, k, with_f=False, backend=backend)
+    if scoring == "rank":
+        model = RankScoring(cr.counts, cr.n, thr)
+    elif scoring == "threshold":
+        if f_t is None:
+            from .stats.ranks import spectrum_median_freq
+
+            f_t = spectrum_median_freq(cr.counts)
+        model = ThresholdScoring(cr.counts, f_t)
+    elif scoring == "log2_median":
+        model = Log2MedianScoring(cr.counts)
+    else:
+        raise ValueError(f"unknown scoring {scoring!r}")
+    regions, _ = _call_regions(
+        packed, k, model, min_width, min_score, backend,
+        want_scan_counts=False,
+    )
+    return RegionResult(
+        n=np.array([cr.n]),
+        counts=cr.counts,
+        regions=_as_region_array(regions),
+        w_rank=model.weights if scoring == "rank" else None,
+    )

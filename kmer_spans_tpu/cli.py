@@ -59,16 +59,68 @@ def cmd_spans(args):
     from . import api
 
     names, seqs = _load_seqs(args.fasta, args.min_l)
-    res = api.kmer_low_comp_regions(
-        seqs, args.k, args.min_width, args.min_score, thr=args.thr,
-        backend=args.backend,
-    )
+    if args.scoring == "rank":
+        res = api.kmer_low_comp_regions(
+            seqs, args.k, args.min_width, args.min_score, thr=args.thr,
+            backend=args.backend,
+        )
+    else:
+        res = api.kmer_spans(
+            seqs, args.k, scoring=args.scoring, min_width=args.min_width,
+            min_score=args.min_score, thr=args.thr, f_t=args.f_t,
+            backend=args.backend,
+        )
     w = sys.stdout
     w.write("seq\tbeg\tend\tscore\n")
     for r in res.regions:
         w.write(f"{names[r['seq_id']]}\t{r['beg']}\t{r['end']}\t{r['score']:.6f}\n")
     print(f"# {len(res.regions)} regions, {int(res.n[0])} k-mers counted",
           file=sys.stderr)
+
+
+def cmd_stream(args):
+    """Span-call a large FASTA through the chunked streaming pipeline."""
+    import numpy as np
+
+    from .io.fasta import read_fasta
+    from .parallel.stream import StreamingSpanPipeline
+    from .utils import native
+    from .utils.metrics import Metrics
+    from .encoding import pack
+
+    records = read_fasta(args.fasta)
+    if not records:
+        sys.exit(f"no sequences in {args.fasta}")
+    name, seq = records[0]
+    if len(records) > 1:
+        print(f"# streaming first sequence only ({name}); "
+              f"{len(records) - 1} more in file", file=sys.stderr)
+    raw = np.frombuffer(seq, dtype=np.uint8)
+    nb = native.pack_nbases(raw)
+    if nb is None:
+        p = pack(seq)
+        nb = p.bases.copy()
+        nb[~p.valid] = 4
+
+    def chunks():
+        for i in range(0, len(nb), args.chunk):
+            yield nb[i : i + args.chunk]
+
+    pipe = StreamingSpanPipeline(
+        args.k, chunk_bases=args.chunk, block=args.block,
+        cand_blocks=args.cand_blocks,
+    )
+    metrics = Metrics()
+    res = pipe.run(chunks, args.thr, args.min_width, args.min_score,
+                   checkpoint_path=args.checkpoint, resume=args.resume,
+                   metrics=metrics)
+    sys.stdout.write("seq\tbeg\tend\tscore\n")
+    for sid, beg, end, score in res.regions:
+        sys.stdout.write(f"{name}\t{beg}\t{end}\t{score:.6f}\n")
+    print(f"# {len(res.regions)} regions, {res.n_kmers} k-mers, "
+          f"{len(res.unresolved)} unresolved windows", file=sys.stderr)
+    if args.metrics:
+        print(metrics.dump(), file=sys.stderr)
 
 
 def cmd_regions(args):
@@ -132,11 +184,32 @@ def main(argv=None):
 
     sp = sub.add_parser("spans", help="low-complexity/repeat span calling")
     _add_common(sp)
+    sp.add_argument("--scoring", default="rank",
+                    choices=["rank", "threshold", "log2_median"])
     sp.add_argument("--thr", type=float, default=0.75)
+    sp.add_argument("--f-t", type=float, default=None,
+                    help="frequency threshold (scoring=threshold)")
     sp.add_argument("--min-width", type=int, default=100)
     sp.add_argument("--min-score", type=float, default=20.0)
     sp.add_argument("--min-l", type=int, default=0)
     sp.set_defaults(fn=cmd_spans)
+
+    sp = sub.add_parser(
+        "stream", help="chunked streaming span calling for large genomes")
+    sp.add_argument("fasta")
+    sp.add_argument("-k", type=int, default=8)
+    sp.add_argument("--thr", type=float, default=0.75)
+    sp.add_argument("--min-width", type=int, default=100)
+    sp.add_argument("--min-score", type=float, default=20.0)
+    sp.add_argument("--chunk", type=int, default=1 << 25)
+    sp.add_argument("--block", type=int, default=8192)
+    sp.add_argument("--cand-blocks", type=int, default=128)
+    sp.add_argument("--checkpoint", default=None,
+                    help="save/resume scan state per chunk")
+    sp.add_argument("--resume", action="store_true")
+    sp.add_argument("--metrics", action="store_true",
+                    help="print per-phase metrics JSON to stderr")
+    sp.set_defaults(fn=cmd_stream)
 
     sp = sub.add_parser("regions", help="arbitrary-weight span calling")
     _add_common(sp)

@@ -153,3 +153,52 @@ def test_fasta_reader(tmp_path):
 
     recs = read_fasta(str(p))
     assert recs == [("s1", b"ACGTACGT"), ("s2", b"NNAC")]
+
+
+def test_kmer_spans_scoring_variants(golden):
+    # rank == kmer_low_comp_regions
+    r = api.kmer_spans(golden, 8, scoring="rank", min_width=100,
+                       min_score=20.0, thr=0.75, backend="host")
+    assert list(r.regions["beg"]) == [20008, 50008, 80007]
+    # threshold scoring with a discriminating f_t (only repeat k-mers are
+    # more frequent than 10/total) isolates the planted islands
+    t = api.kmer_spans(golden, 8, scoring="threshold", min_width=100,
+                       min_score=50.0, f_t=10 / 99_993, backend="host")
+    assert list(t.regions["beg"]) == [20008, 50008, 80007]
+    assert list(t.regions["end"]) == [20600, 50900, 80400]
+
+
+def test_log2_median_model():
+    # README.md:27-32: s = log2(f_i / f_med); f_med is the weighted
+    # (per-instance) median frequency.  Note this scoring has no negative
+    # drift when the median count is the minimum (log2(1)=0), so region
+    # separation requires a mid-distribution median — verified at the
+    # model level here.
+    from kmer_spans_tpu.models.scoring import Log2MedianScoring
+
+    counts = np.array([1, 4, 2, 1])  # total 8; weighted median count = 2
+    m = Log2MedianScoring(counts)
+    f_med = 2 / 8
+    np.testing.assert_allclose(
+        m.weights, np.log2((counts / 8) / f_med))
+    assert m.threshold == 0.0
+    # zero-count k-mers get -inf (infinite penalty resets the scan)
+    m2 = Log2MedianScoring(np.array([0, 8, 0, 0]))
+    assert np.isneginf(m2.weights[0])
+
+
+def test_kmer_spans_threshold_matches_oracle_pm1():
+    # threshold scoring is a +/-1 weight table; cross-check via oracle
+    seq = "ACGT" * 500 + "AG" * 300 + "TTGACA" * 300
+    r = api.kmer_spans(seq, 2, scoring="threshold", min_width=10,
+                       min_score=5.0, f_t=0.05, backend="host")
+    from kmer_spans_tpu.models.scoring import ThresholdScoring
+    from kmer_spans_tpu.oracle import count_spectrum, find_regions
+
+    counts, n = count_spectrum(seq, 2)
+    model = ThresholdScoring(counts, 0.05)
+    expect = find_regions(seq, 0, 10, 5.0, model.weights, 2, 0.0)
+    assert len(r.regions) == len(expect)
+    for got, e in zip(r.regions, expect):
+        assert (got["beg"], got["end"]) == (e[1], e[2])
+        assert got["score"] == e[3]

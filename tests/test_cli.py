@@ -85,3 +85,28 @@ def test_cli_regions(fasta, tmp_path, capsys):
     lines = out.out.strip().splitlines()
     assert lines[0] == "seq\tbeg\tend\tscore"
     assert any("20" in l for l in lines[1:])  # finds the AG island
+
+
+def test_cli_stream(fasta, capsys, tmp_path):
+    out = _run(
+        ["stream", fasta, "-k", "8", "--chunk", "32768", "--block", "512",
+         "--cand-blocks", "32", "--min-width", "100", "--min-score", "20",
+         "--checkpoint", str(tmp_path / "ck.npz"), "--metrics"],
+        capsys,
+    )
+    lines = [l for l in out.out.strip().splitlines() if l]
+    assert lines[0] == "seq\tbeg\tend\tscore"
+    assert len(lines) == 4  # 3 golden regions through the streamed path
+    assert lines[1].startswith("chr1\t20008\t20600\t137.92")
+    assert "unresolved" in out.err and "phases" in out.err
+
+
+def test_cli_spans_threshold_scoring(fasta, capsys):
+    out = _run(
+        ["spans", fasta, "-k", "8", "--backend", "host",
+         "--scoring", "threshold", "--f-t", "0.0001",
+         "--min-width", "100", "--min-score", "50"],
+        capsys,
+    )
+    lines = out.out.strip().splitlines()
+    assert lines[1].startswith("chr1\t20008\t20600")
