@@ -225,13 +225,26 @@ def kmer_regions(
 
 def kmer_low_comp_regions(
     seqs, k: int, min_w: int, min_score: float, thr: float = 0.75,
-    backend: str = "auto",
+    backend: str = "auto", mode: str = "exact",
 ) -> RegionResult:
     """The flagship pipeline: spectrum -> weighted ranks -> rank-scored spans
     (reference kmer_low_comp_regions, :548-621; kmer_spans.R:72-79).
+
+    mode="exact" (default): ranks via the reference's sequential f64 chain;
+    spans bit-identical to the C implementation.
+    mode="fast": the sparse single-chip device pipeline (spans/pipeline) —
+    one compiled program for ALL sequences (concatenated with N
+    separators), mass/total ranks (can differ from the chain in the last
+    ulp), exact f64 replay of candidates.  Falls back to exact when the
+    device candidate capacity overflows.
     """
     backend = _resolve_backend(backend)
     packed = _as_seq_list(seqs)
+    if mode == "fast" and backend == "jax":
+        res = _low_comp_fast(packed, k, min_w, min_score, thr)
+        if res is not None:
+            return res
+        # capacity overflow: fall through to the exact path
     cr = kmer_counts(packed, k, with_f=False, backend=backend)
     model = RankScoring(cr.counts, cr.n, thr)
     regions, _ = _call_regions(
@@ -242,6 +255,68 @@ def kmer_low_comp_regions(
         counts=cr.counts,
         regions=_as_region_array(regions),
         w_rank=model.weights,
+    )
+
+
+def _low_comp_fast(packed, k, min_w, min_score, thr, block=8192,
+                   cand_blocks=128):
+    """Sparse device pipeline over all sequences in one program.
+
+    Sequences >= k concatenate with single-N separators (segments never
+    span N, so per-sequence semantics are preserved exactly); emitted
+    global positions map back to (seq_id, local 1-based) coordinates.
+    Returns None on candidate-capacity overflow.
+    """
+    import bisect
+
+    import jax
+    import jax.numpy as jnp
+
+    from .spans.pipeline import finish_spans, make_span_pipeline
+
+    if not 0.0 < thr < 1.0:
+        raise ValueError("the threshold must be between 0 and 1")
+    kept = [(i, p) for i, p in enumerate(packed) if p.n >= k]
+    if not kept:
+        return RegionResult(
+            n=np.array([0.0, 0.0]),
+            counts=np.zeros(1 << (2 * k), np.int64),
+            regions=_as_region_array([]),
+            w_rank=np.zeros(1 << (2 * k)),
+        )
+    total_len = sum(p.n for _, p in kept) + len(kept) - 1
+    npad = -(-total_len // block) * block
+    arr = np.full(npad, 4, np.uint8)
+    offsets = []  # global 0-based start of each kept sequence
+    pos = 0
+    for j, (i, p) in enumerate(kept):
+        if j:
+            pos += 1  # N separator
+        offsets.append(pos)
+        nb = p.bases.copy()
+        nb[~p.valid] = 4
+        arr[pos : pos + p.n] = nb
+        pos += p.n
+    fn = make_span_pipeline(k, block=block, cand_blocks=cand_blocks)
+    out = fn(jnp.asarray(arr), jnp.float32(thr))
+    res = finish_spans(out, npad, thr, min_w, min_score, block=block)
+    if res.fallback:
+        return None
+    counts = np.asarray(out["counts"]).astype(np.int64)
+    total = int(np.asarray(out["total"]))
+    regions = []
+    for _, beg, end, score in res.regions:
+        j = bisect.bisect_right(offsets, beg - 1) - 1
+        seq_id = kept[j][0]
+        off = offsets[j]
+        regions.append((seq_id, beg - off, end - off, score))
+    from .stats.ranks import cumulative_mass
+
+    return RegionResult(
+        n=np.array([float(total), 0.0]),
+        counts=counts,
+        regions=_as_region_array(regions),
+        w_rank=cumulative_mass(counts).astype(np.float64) / max(total, 1),
     )
 
 

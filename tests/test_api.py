@@ -202,3 +202,21 @@ def test_kmer_spans_threshold_matches_oracle_pm1():
     for got, e in zip(r.regions, expect):
         assert (got["beg"], got["end"]) == (e[1], e[2])
         assert got["score"] == e[3]
+
+
+def test_low_comp_fast_mode_matches_exact(golden, rng):
+    # fast mode: one device program over concatenated scaffolds
+    seqs = [golden[:30_000], golden[30_000:70_000], "AC",
+            golden[70_000:]]
+    exact = api.kmer_low_comp_regions(seqs, 8, 100, 20.0, thr=0.75,
+                                      backend="host")
+    fast = api.kmer_low_comp_regions(seqs, 8, 100, 20.0, thr=0.75,
+                                     backend="jax", mode="fast")
+    # concatenation-with-N keeps per-sequence semantics; positions match
+    # exactly and scores to mass-rank precision
+    assert [(r["seq_id"], r["beg"], r["end"]) for r in fast.regions] == \
+        [(r["seq_id"], r["beg"], r["end"]) for r in exact.regions]
+    np.testing.assert_allclose(fast.regions["score"],
+                               exact.regions["score"], rtol=1e-9)
+    assert fast.n[0] == exact.n[0]
+    assert (fast.counts == exact.counts).all()

@@ -99,3 +99,21 @@ def test_native_capacity_growth():
     assert len(beg) == len(expect)
     assert len(beg) > 1024  # exercised the regrow path
     assert list(score) == [e[3] for e in expect]
+
+
+def test_sanitizer_selftest():
+    """ASan/UBSan harness: native kernels must be UB-free up to k=15
+    (the reference C has signed-shift UB at its MAX_K; SURVEY §5.2)."""
+    import subprocess
+    import os
+
+    native_dir = os.path.join(os.path.dirname(__file__), "..", "native")
+    try:
+        r = subprocess.run(
+            ["make", "-C", native_dir, "-s", "sanitize"],
+            capture_output=True, timeout=300, text=True,
+        )
+    except (subprocess.TimeoutExpired, FileNotFoundError):
+        pytest.skip("sanitizer toolchain unavailable")
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "selftest ok" in r.stdout
