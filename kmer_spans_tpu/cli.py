@@ -91,34 +91,57 @@ def cmd_stream(args):
     records = read_fasta(args.fasta)
     if not records:
         sys.exit(f"no sequences in {args.fasta}")
-    name, seq = records[0]
-    if len(records) > 1:
-        print(f"# streaming first sequence only ({name}); "
-              f"{len(records) - 1} more in file", file=sys.stderr)
-    raw = np.frombuffer(seq, dtype=np.uint8)
-    nb = native.pack_nbases(raw)
-    if nb is None:
-        p = pack(seq)
-        nb = p.bases.copy()
-        nb[~p.valid] = 4
 
-    def chunks():
-        for i in range(0, len(nb), args.chunk):
-            yield nb[i : i + args.chunk]
+    def nbases_of(seq):
+        raw = np.frombuffer(seq, dtype=np.uint8)
+        nb = native.pack_nbases(raw)
+        if nb is None:
+            p = pack(seq)
+            nb = p.bases.copy()
+            nb[~p.valid] = 4
+        return nb
 
+    # one pipeline instance: the two compiled programs are reused across
+    # every scaffold (same chunk shape).  Reference semantics: the spectrum
+    # accumulates over ALL scaffolds before any scan (src/kmer_spans.c:592)
     pipe = StreamingSpanPipeline(
         args.k, chunk_bases=args.chunk, block=args.block,
         cand_blocks=args.cand_blocks,
     )
     metrics = Metrics()
-    res = pipe.run(chunks, args.thr, args.min_width, args.min_score,
-                   checkpoint_path=args.checkpoint, resume=args.resume,
-                   metrics=metrics)
+    kept = [(si, name, seq) for si, (name, seq) in enumerate(records)
+            if len(seq) >= args.k]
+
+    def chunks_of(seq):
+        nb = nbases_of(seq)
+
+        def factory():
+            for i in range(0, len(nb), args.chunk):
+                yield nb[i : i + args.chunk]
+
+        return factory
+
+    with metrics.phase("count"):
+        acc = None
+        for si, name, seq in kept:
+            acc = pipe.accumulate_counts(chunks_of(seq), acc=acc)
+    with metrics.phase("rank"):
+        mass, total = pipe.finish_rank(acc)
     sys.stdout.write("seq\tbeg\tend\tscore\n")
-    for sid, beg, end, score in res.regions:
-        sys.stdout.write(f"{name}\t{beg}\t{end}\t{score:.6f}\n")
-    print(f"# {len(res.regions)} regions, {res.n_kmers} k-mers, "
-          f"{len(res.unresolved)} unresolved windows", file=sys.stderr)
+    total_regions = total_unresolved = 0
+    for si, name, seq in kept:
+        ckpt = f"{args.checkpoint}.{si}" if args.checkpoint else None
+        res = pipe.scan_stream(
+            chunks_of(seq), mass, total, args.thr, args.min_width,
+            args.min_score, seq_id=si, checkpoint_path=ckpt,
+            resume=args.resume, metrics=metrics,
+        )
+        for sid, beg, end, score in res.regions:
+            sys.stdout.write(f"{name}\t{beg}\t{end}\t{score:.6f}\n")
+        total_regions += len(res.regions)
+        total_unresolved += len(res.unresolved)
+    print(f"# {total_regions} regions, {total} k-mers, "
+          f"{total_unresolved} unresolved windows", file=sys.stderr)
     if args.metrics:
         print(metrics.dump(), file=sys.stderr)
 

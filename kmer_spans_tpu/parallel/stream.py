@@ -172,29 +172,58 @@ class StreamingSpanPipeline:
         h = k - 1
 
         import contextlib
-        import time as _time
 
         def _phase(name, bases=0, **kw):
             if metrics is None:
                 return contextlib.nullcontext()
             return metrics.phase(name, bases=bases, **kw)
 
-        acc = jnp.zeros(self._size, jnp.int32)
-        chunk_lens = []
-        prev_tail = np.full(h, 4, np.uint8)  # N: genome start has no halo
         with _phase("count"):
-            for arr in chunk_iter_factory():
-                arr = self._pad(arr)
-                chunk_lens.append(arr.shape[0])
-                acc = self._count(
-                    jnp.asarray(arr), acc,
-                    jnp.asarray(prev_tail & 3), jnp.asarray(prev_tail < 4),
-                )
-                if h:
-                    prev_tail = arr[-h:]
+            acc = self.accumulate_counts(chunk_iter_factory)
         with _phase("rank"):
-            mass, total = self._rank(acc)
-            total_i = int(total)
+            mass, total_i = self.finish_rank(acc)
+        return self.scan_stream(
+            chunk_iter_factory, mass, total_i, thr, min_width, min_score,
+            seq_id=seq_id, checkpoint_path=checkpoint_path, resume=resume,
+            metrics=metrics, stop_after_chunk=stop_after_chunk,
+            counts_device=acc,
+        )
+
+    def accumulate_counts(self, chunk_iter_factory, acc=None):
+        """Count pass over one stream; pass ``acc`` to accumulate multiple
+        streams into one spectrum (the reference counts across ALL
+        sequences before scanning any — src/kmer_spans.c:592-601)."""
+        import jax.numpy as jnp
+
+        h = self.k - 1
+        if acc is None:
+            acc = jnp.zeros(self._size, jnp.int32)
+        prev_tail = np.full(h, 4, np.uint8)  # N: stream start has no halo
+        for arr in chunk_iter_factory():
+            arr = self._pad(arr)
+            acc = self._count(
+                jnp.asarray(arr), acc,
+                jnp.asarray(prev_tail & 3), jnp.asarray(prev_tail < 4),
+            )
+            if h:
+                prev_tail = arr[-h:]
+        return acc
+
+    def finish_rank(self, acc):
+        mass, total = self._rank(acc)
+        return mass, int(total)
+
+    def scan_stream(self, chunk_iter_factory, mass, total_i, thr,
+                    min_width, min_score, seq_id=0, checkpoint_path=None,
+                    resume=False, metrics=None, stop_after_chunk=None,
+                    counts_device=None) -> StreamResult:
+        """Scan pass over one stream with a (possibly shared) rank table."""
+        import time as _time
+
+        import jax.numpy as jnp
+
+        k, block, nb = self.k, self.block, self._nb
+        h = k - 1
         total32 = jnp.float32(total_i)
 
         regions: list = []
@@ -280,7 +309,7 @@ class StreamingSpanPipeline:
         # already applied inside the final chunk because next_v=False)
         return StreamResult(
             regions=regions, n_kmers=total_i, unresolved=unresolved,
-            counts_device=acc,
+            counts_device=counts_device,
         )
 
     def _pad(self, arr: np.ndarray) -> np.ndarray:

@@ -110,3 +110,23 @@ def test_cli_spans_threshold_scoring(fasta, capsys):
     )
     lines = out.out.strip().splitlines()
     assert lines[1].startswith("chr1\t20008\t20600")
+
+
+def test_cli_stream_multi_scaffold(tmp_path, golden, capsys):
+    # spectrum must accumulate across scaffolds before scanning (reference
+    # kmer_low_comp_regions semantics): splitting the golden genome into
+    # two scaffolds away from the islands preserves the three regions
+    from kmer_spans_tpu.io.fasta import write_fasta
+
+    fa = tmp_path / "multi.fa"
+    write_fasta(fa, [("s1", golden[:40_000]), ("s2", golden[40_000:])])
+    out = _run(
+        ["stream", str(fa), "-k", "8", "--chunk", "16384", "--block", "512",
+         "--cand-blocks", "32", "--min-width", "100", "--min-score", "20"],
+        capsys,
+    )
+    lines = [l for l in out.out.strip().splitlines() if l]
+    assert len(lines) == 4
+    assert lines[1].startswith("s1\t20008\t20600")
+    assert lines[2].startswith("s2\t10008\t10900")  # 50008-40000
+    assert lines[3].startswith("s2\t40007\t40400")
