@@ -85,7 +85,9 @@ def main():
     for _ in range(reps):
         t0 = time.time()
         out = fn(dev, thr32)
-        jax.block_until_ready(out)
+        # NOTE: block_until_ready does not actually block on the axon
+        # backend; a scalar pull is the only reliable completion fence
+        float(np.asarray(out["total"]))
         t_dev = time.time() - t0
         res = finish_spans(out, n, thr, min_w, min_s, block=block)
         t_tot = time.time() - t0

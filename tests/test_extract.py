@@ -92,3 +92,26 @@ def test_extract_golden(golden):
     assert [g[:3] for g in got] == [
         (0, 20008, 20600), (0, 50008, 50900), (0, 80007, 80400)]
     assert [round(g[3], 6) for g in got] == [137.923657, 214.364008, 96.947531]
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_extract_integer_weights_exact_zero_semantics(seed):
+    """Integer weights make exact-zero scores and ties common — the
+    score==0 crossing and s>0 strictness semantics must hold exactly."""
+    rng = np.random.default_rng(200 + seed)
+    seq = random_seq(rng, 4000, n_prob=0.01)
+    k = 2
+    weights = rng.choice([-1.0, 0.0, 1.0, 2.0], size=16,
+                         p=[0.4, 0.25, 0.25, 0.1])
+    for mw, ms in [(3, 2.0), (0, 0.0), (5, -1.0)]:
+        expect = find_regions(seq, 0, mw, ms, weights, k, 0.0)
+        got, _ = _host_pipeline(seq, k, mw, ms, weights, 0.0)
+        assert [g[:4] for g in got] == [e[:4] for e in expect], (mw, ms)
+
+
+def test_extract_all_zero_weights():
+    # s == 0 everywhere: no excursion ever starts (score>0 strict)
+    seq = "ACGT" * 500
+    got, _ = _host_pipeline(seq, 2, 0, 0.0, np.zeros(16), 0.0)
+    expect = find_regions(seq, 0, 0, 0.0, np.zeros(16), 2, 0.0)
+    assert got == [] and expect == []
