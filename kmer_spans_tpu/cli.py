@@ -191,6 +191,28 @@ def cmd_kmers(args):
         print(s)
 
 
+def cmd_lr(args):
+    """Transition-score (Markov log-likelihood-ratio) region calling."""
+    from . import api
+
+    names, seqs = _load_seqs(args.fasta, 0)
+    kmers, ks, ts = [], [], []
+    with open(args.scores) as fh:
+        for line in fh:
+            if line.strip():
+                kmer, seed, trans = line.split()
+                kmers.append(kmer)
+                ks.append(float(seed))
+                ts.append(float(trans))
+    res = api.lr_regions(seqs, (args.k, args.min_length), kmers, ks, ts,
+                         backend=args.backend)
+    sys.stdout.write("seq\tbeg\tend\tscore\n")
+    for r in res.regions:
+        sys.stdout.write(
+            f"{names[r['seq_id'] - 1]}\t{r['beg']}\t{r['end']}\t"
+            f"{r['score']:.6f}\n")
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(
         prog="kmer-spans-tpu",
@@ -253,6 +275,14 @@ def main(argv=None):
     sp = sub.add_parser("kmers", help="all 4^k k-mers in index order")
     sp.add_argument("-k", type=int, default=2)
     sp.set_defaults(fn=cmd_kmers)
+
+    sp = sub.add_parser("lr", help="transition-score region calling")
+    _add_common(sp)
+    sp.add_argument("--scores", required=True,
+                    help="TSV of kmer<TAB>seed_score<TAB>trans_score "
+                         "(all 4^k kmers, any order)")
+    sp.add_argument("--min-length", type=int, default=100)
+    sp.set_defaults(fn=cmd_lr)
 
     args = ap.parse_args(argv)
     args.fn(args)

@@ -130,3 +130,24 @@ def test_cli_stream_multi_scaffold(tmp_path, golden, capsys):
     assert lines[1].startswith("s1\t20008\t20600")
     assert lines[2].startswith("s2\t10008\t10900")  # 50008-40000
     assert lines[3].startswith("s2\t40007\t40400")
+
+
+def test_cli_lr(tmp_path, capsys):
+    from kmer_spans_tpu.encoding import all_kmers
+    from kmer_spans_tpu.io.fasta import write_fasta
+
+    fa = tmp_path / "cpg.fa"
+    write_fasta(fa, [("s", "ATATATATCGCGCGCGCGCGATATATATATATATATCGCGCG")])
+    scores = tmp_path / "lr.tsv"
+    with open(scores, "w") as fh:
+        for km in all_kmers(2):
+            seed = 2.0 if km == "CG" else -1.0
+            trans = 2.0 if km == "CG" else -0.5
+            fh.write(f"{km}\t{seed}\t{trans}\n")
+    out = _run(
+        ["lr", str(fa), "-k", "2", "--backend", "host",
+         "--scores", str(scores), "--min-length", "4"],
+        capsys,
+    )
+    lines = out.out.strip().splitlines()
+    assert lines[1].startswith("s\t10\t20\t9.5")
