@@ -95,3 +95,15 @@ def test_stream_resume_matches_uninterrupted(tmp_path):
     )
     assert sorted(resumed.regions) == sorted(full.regions)
     assert resumed.unresolved == full.unresolved
+
+
+def test_multihost_initialize_noop_single_process():
+    from kmer_spans_tpu.parallel.multihost import (
+        global_data_mesh,
+        initialize,
+    )
+
+    # single-process env: no coordinator vars -> no-op
+    assert initialize() is False
+    mesh = global_data_mesh()
+    assert mesh.devices.size >= 1
