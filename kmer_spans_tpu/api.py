@@ -66,10 +66,25 @@ def _resolve_backend(backend: str) -> str:
             jax.devices()
             return "jax"
         except Exception:
-            return "host"
+            pass
+        from .utils import native as _native
+
+        return "native" if _native.available() else "host"
+    if backend == "native":
+        from .utils import native as _native
+
+        if not _native.available():
+            raise RuntimeError("native backend unavailable (no C++ toolchain)")
+        return backend
     if backend not in ("host", "jax"):
         raise ValueError(f"unknown backend {backend!r}")
     return backend
+
+
+def _nbases_of(p: PackedSeq) -> np.ndarray:
+    nb = p.bases.copy()
+    nb[~p.valid] = 4
+    return nb
 
 
 # ---------------------------------------------------------------------------
@@ -95,6 +110,17 @@ def kmer_counts(seqs, k: int, with_f: bool = True, backend: str = "auto") -> Kme
         from .parallel.device import device_count_spectrum
 
         counts, n = device_count_spectrum(packed, k)
+    elif backend == "native":
+        from .utils import native
+
+        counts = np.zeros(1 << (2 * k), dtype=np.int64)
+        n = 0
+        for p in packed:
+            if p.n < k:
+                continue
+            c, nw = native.count_spectrum(_nbases_of(p), k)
+            counts += c
+            n += nw
     else:
         counts = np.zeros(1 << (2 * k), dtype=np.int64)
         n = 0
@@ -180,6 +206,22 @@ def _call_regions(
                 scan_counts += np.bincount(
                     codes[sel], weights=mult[sel], minlength=size
                 ).astype(np.int64)
+    elif backend == "native":
+        from .utils import native
+
+        for i, p in enumerate(packed):
+            if p.n < k:
+                continue
+            beg, end, score, sc = native.find_spans(
+                _nbases_of(p), k, model.weights, model.threshold,
+                min_width, min_score, want_scan_counts=want_scan_counts,
+            )
+            all_regions.extend(
+                (i, int(b), int(e), float(s))
+                for b, e, s in zip(beg, end, score)
+            )
+            if want_scan_counts:
+                scan_counts += sc
     else:
         for i, p in enumerate(packed):
             if p.n < k:

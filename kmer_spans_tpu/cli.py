@@ -31,7 +31,7 @@ def _load_seqs(path, min_l=0):
 def _add_common(sp):
     sp.add_argument("fasta", help="FASTA file (plain or .gz)")
     sp.add_argument("-k", type=int, default=8)
-    sp.add_argument("--backend", default="auto", choices=["auto", "host", "jax"])
+    sp.add_argument("--backend", default="auto", choices=["auto", "host", "jax", "native"])
 
 
 def cmd_count(args):

@@ -220,3 +220,31 @@ def test_low_comp_fast_mode_matches_exact(golden, rng):
                                exact.regions["score"], rtol=1e-9)
     assert fast.n[0] == exact.n[0]
     assert (fast.counts == exact.counts).all()
+
+
+def test_native_backend_bit_identical(golden):
+    from kmer_spans_tpu.utils import native as _native
+
+    if not _native.available():
+        pytest.skip("native toolchain unavailable")
+    h = api.kmer_low_comp_regions(golden, 8, 100, 20.0, thr=0.75,
+                                  backend="host")
+    n = api.kmer_low_comp_regions(golden, 8, 100, 20.0, thr=0.75,
+                                  backend="native")
+    assert (h.regions == n.regions).all()
+    assert (h.counts == n.counts).all()
+    c = api.kmer_counts(golden, 8, backend="native")
+    assert c.n == 99_993
+
+
+def test_native_backend_scan_counts(rng):
+    from kmer_spans_tpu.utils import native as _native
+
+    if not _native.available():
+        pytest.skip("native toolchain unavailable")
+    seqs = [random_seq(rng, 2000, n_prob=0.02) for _ in range(2)]
+    w = dict(zip(api.kmer_seq(2), rng.normal(0.3, 1.0, size=16)))
+    h = api.kmer_regions(seqs, 2, w, 2, 0.5, backend="host")
+    n = api.kmer_regions(seqs, 2, w, 2, 0.5, backend="native")
+    assert (h.regions == n.regions).all()
+    assert (h.counts == n.counts).all()
