@@ -34,8 +34,10 @@ import numpy as np
 
 _CHUNK = 4096
 #: absolute slack on the screened excursion max vs min_score; the screen's
-#: f64 rounding error is ~eps * |P|_max, far below this for any real input
-_SCORE_MARGIN = 1e-6
+#: f64 rounding error is ~eps * |P|_max ≈ 2e-7 even for a 3 Gb genome at
+#: |s| ~ 0.25, two orders below this margin (extra candidates only cost a
+#: replay; the replay decides exactly)
+_SCORE_MARGIN = 1e-4
 
 
 def _first_nonpositive(s: np.ndarray, u: int):
