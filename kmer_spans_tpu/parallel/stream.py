@@ -209,7 +209,26 @@ class StreamingSpanPipeline:
                 prev_tail = arr[-h:]
         return acc
 
-    def finish_rank(self, acc):
+    def finish_rank(self, acc, host_threshold: int = 1 << 26):
+        """Rank mass from the accumulated spectrum.
+
+        For spectra up to ``host_threshold`` entries the exact integer mass
+        is computed on the HOST (pull counts, numpy stable argsort, push) —
+        XLA's sort compiles pathologically slowly on some TPU toolchains
+        regardless of size, and a 4^12 table is a 67 MB round trip at most.
+        Larger spectra use the on-device sort.
+        """
+        import jax.numpy as jnp
+
+        if self._size <= host_threshold:
+            from ..stats.ranks import cumulative_mass
+
+            counts = np.asarray(acc)
+            mass = cumulative_mass(counts)
+            if mass.max(initial=0) > np.iinfo(np.int32).max:
+                raise OverflowError(
+                    "rank mass exceeds int32; use the sharded int64 path")
+            return jnp.asarray(mass.astype(np.int32)), int(counts.sum())
         mass, total = self._rank(acc)
         return mass, int(total)
 
