@@ -22,6 +22,12 @@ f64 chain; they can differ from the chain in the last ulp.  The api
 "host"/"jax" exact backends reproduce the chain bit-for-bit; this fast
 path is for throughput at scale (the positive/negative decision is exact
 via integer comparison either way).
+
+The default screen ("class") gathers a packed 4-bit rank UPPER BOUND per
+position through the enumerated Pallas kernel (ops/gather.py, ~3x faster
+than XLA's gather).  Because the max-plus scan is monotone in its inputs
+this over-approximation can only ADD candidate blocks; emitted regions
+are unchanged (exact integer-mass replay in the finisher).
 """
 
 from __future__ import annotations
@@ -42,11 +48,19 @@ def _seg_max_combine(left, right):
     return m, jnp.maximum(rl, rr)
 
 
-def make_span_pipeline(k: int, block: int = 8192, cand_blocks: int = 128):
+def make_span_pipeline(
+    k: int, block: int = 8192, cand_blocks: int = 128, screen: str = "auto"
+):
     """Build the jitted device step.
 
     Returns fn(nbases u8 [n]; thr f32) -> dict of fixed-shape outputs.
     n must be a multiple of ``block``.  nbases encodes N as value 4.
+
+    screen: "class" — packed 4-bit rank-upper-bound table gathered by the
+    Pallas enumerated kernel (ops/gather.py; sound over-approximation,
+    ~10x faster than XLA's gather; exact spans still come from the
+    finisher's integer-mass replay).  "f32" — near-exact f32 rank gather
+    via XLA.  "auto" — class for k <= PALLAS_CLASS_MAX_K, else f32.
     """
     import jax
     import jax.numpy as jnp
@@ -56,16 +70,16 @@ def make_span_pipeline(k: int, block: int = 8192, cand_blocks: int = 128):
         blocked_scan,
         blocked_scored,
     )
-    from ..ops.mxu import mxu_gather_f32
-    from ..ops.pallas_kernels import PALLAS_COUNT_MAX_K, pallas_count_spectrum
+    from ..ops.gather import (
+        PALLAS_CLASS_MAX_K,
+        class_screen_scores,
+        class_table_from_mass,
+        prerolled_table,
+    )
     from ..parallel.pipeline import _rank_mass
 
-    # NOTE: the one-hot MXU count/gather paths (ops/mxu.py,
-    # ops/pallas_kernels.py) measured VPU-bound on one-hot generation
-    # (~(4^k/128 + 128) compares per element) and lose to XLA
-    # scatter/gather at 50M scale; disabled pending a Mosaic
-    # dynamic-gather kernel.  Set True to experiment (k in [4, 8]).
-    fast_k = False and 4 <= k <= PALLAS_COUNT_MAX_K
+    if screen == "auto":
+        screen = "class" if k <= PALLAS_CLASS_MAX_K else "f32"
 
     @jax.jit
     def fn(nbases, thr):
@@ -77,17 +91,14 @@ def make_span_pipeline(k: int, block: int = 8192, cand_blocks: int = 128):
         scored = blocked_scored(v2, kmer_valid)
         codes = jnp.where(kmer_valid, codes, 0)
         size = 1 << (2 * k)
-        if fast_k:
-            counts = pallas_count_spectrum(codes, kmer_valid, k)
-        else:
-            counts = jnp.zeros(size, jnp.int32).at[codes].add(
-                kmer_valid.astype(jnp.int32)
-            )
+        counts = jnp.zeros(size, jnp.int32).at[codes].add(
+            kmer_valid.astype(jnp.int32)
+        )
         mass = _rank_mass(counts)
         total = jnp.sum(counts).astype(jnp.float32)
-        if fast_k:
-            s_table = mass.astype(jnp.float32) / total - thr
-            s = mxu_gather_f32(s_table, codes)
+        if screen == "class":
+            tabR = prerolled_table(class_table_from_mass(mass, total))
+            s = class_screen_scores(tabR, codes, thr)
         else:
             s = (mass[codes].astype(jnp.float32) - thr * total) / total
         Sb, _ = blocked_scan(s, scored)
