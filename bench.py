@@ -60,13 +60,17 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from kmer_spans_tpu.spans.pipeline import finish_spans, make_span_pipeline
+    from kmer_spans_tpu.spans.pipeline import (
+        finish_spans,
+        make_span_pipeline,
+        unpack_outputs,
+    )
 
     log(f"devices: {jax.devices()}  n={n:,} k={k} block={block} cand={cand}")
     rng = np.random.default_rng(0)
     nbases = make_genome(n, rng)
 
-    fn = make_span_pipeline(k, block=block, cand_blocks=cand)
+    fn = make_span_pipeline(k, block=block, cand_blocks=cand, packed=True)
     t0 = time.time()
     dev = jax.device_put(nbases)
     jax.block_until_ready(dev)
@@ -76,25 +80,26 @@ def main():
     thr32 = jnp.float32(thr)
     t0 = time.time()
     out = fn(dev, thr32)
-    jax.block_until_ready(out)
+    np.asarray(out)
     log(f"compile+first run: {time.time()-t0:.1f}s")
 
-    # steady state: device step + summary/candidate pulls + host replay
+    # steady state: device step + ONE packed D2H pull + host replay
     times = []
     regions = None
-    for _ in range(reps):
+    t_dev = None
+    for rep in range(reps):
         t0 = time.time()
         out = fn(dev, thr32)
-        # NOTE: block_until_ready does not actually block on the axon
-        # backend; a scalar pull is the only reliable completion fence
-        float(np.asarray(out["total"]))
-        t_dev = time.time() - t0
-        res = finish_spans(out, n, thr, min_w, min_s, block=block)
+        if rep == 0:
+            # diagnostic split (adds a 4-byte fence pull; excluded from min)
+            float(np.asarray(out[:1])[0])
+            t_dev = time.time() - t0
+        host = unpack_outputs(out, k, n, block, cand)
+        res = finish_spans(host, n, thr, min_w, min_s, block=block)
         t_tot = time.time() - t0
-        times.append((t_dev, t_tot))
+        times.append(t_tot)
         regions = res
-    t_dev = min(t for t, _ in times)
-    t_tot = min(t for _, t in times)
+    t_tot = min(times[1:]) if reps > 1 else times[0]
     log(f"device step: {t_dev:.3f}s ({n/t_dev/1e6:.0f} Mbases/s device-only)")
     log(f"end-to-end: {t_tot:.3f}s  regions={len(regions.regions)} "
         f"fallback={regions.fallback}")

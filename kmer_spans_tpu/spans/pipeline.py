@@ -49,7 +49,11 @@ def _seg_max_combine(left, right):
 
 
 def make_span_pipeline(
-    k: int, block: int = 8192, cand_blocks: int = 128, screen: str = "auto"
+    k: int,
+    block: int = 8192,
+    cand_blocks: int = 128,
+    screen: str = "auto",
+    packed: bool = False,
 ):
     """Build the jitted device step.
 
@@ -61,6 +65,13 @@ def make_span_pipeline(
     ~10x faster than XLA's gather; exact spans still come from the
     finisher's integer-mass replay).  "f32" — near-exact f32 rank gather
     via XLA.  "auto" — class for k <= PALLAS_CLASS_MAX_K, else f32.
+
+    packed: return ONE flat int32 vector instead of a dict — the device
+    tunnel pays ~30 ms latency per D2H pull, so the finisher inputs are
+    fused: counts, total, bitcast f32 summaries, top_idx, bit-packed
+    scored flags, and (k <= 8) 16-bit candidate codes instead of 32-bit
+    mass (the host rebuilds exact mass from counts).  Decode with
+    unpack_outputs.
     """
     import jax
     import jax.numpy as jnp
@@ -125,21 +136,104 @@ def make_span_pipeline(
         need = run_max
         top_need, top_idx = jax.lax.top_k(need, min(cand_blocks, nb))
         top_idx = jnp.sort(top_idx)
-        # exact integer mass only for the candidate blocks (small gather)
-        pm_cand = mass[codes[top_idx]]
-        # NOTE: only fixed-size, finisher-required outputs — every extra MB
-        # here is a D2H pull on the critical path
-        return {
-            "counts": counts,
-            "total": jnp.sum(counts),
-            "block_last": block_last,
-            "run_max": run_max,
-            "top_idx": top_idx,
-            "pm": pm_cand,
-            "scored": scored[top_idx],
-        }
+        sc_cand = scored[top_idx]
+        if not packed:
+            # exact integer mass only for candidate blocks (small gather)
+            return {
+                "counts": counts,
+                "total": jnp.sum(counts),
+                "block_last": block_last,
+                "run_max": run_max,
+                "top_idx": top_idx,
+                "pm": mass[codes[top_idx]],
+                "scored": sc_cand,
+            }
+        C = sc_cand.shape[0]
+        bits32 = jnp.arange(32, dtype=jnp.uint32)
+        sc_words = jnp.sum(
+            sc_cand.reshape(C, block // 32, 32).astype(jnp.uint32)
+            << bits32[None, None, :],
+            axis=-1,
+            dtype=jnp.uint32,
+        )
+        if k <= 8:
+            cc = codes[top_idx].astype(jnp.uint32).reshape(C, block // 2, 2)
+            cand_words = cc[..., 0] | (cc[..., 1] << 16)
+        else:
+            cand_words = mass[codes[top_idx]].astype(jnp.uint32)
+        bc = lambda x: jax.lax.bitcast_convert_type(x, jnp.int32)
+        # explicit int32 everywhere: under jax_enable_x64 (tests) parts
+        # would otherwise promote the concat to int64
+        return jnp.concatenate([
+            counts.reshape(-1).astype(jnp.int32),
+            jnp.sum(counts).reshape(1).astype(jnp.int32),
+            bc(block_last.astype(jnp.float32)),
+            bc(run_max.astype(jnp.float32)),
+            top_idx.astype(jnp.int32),
+            bc(sc_words.astype(jnp.uint32)).reshape(-1),
+            bc(cand_words.astype(jnp.uint32)).reshape(-1),
+        ])
 
     return fn
+
+
+def host_rank_mass(counts: np.ndarray) -> np.ndarray:
+    """Exact exclusive cumulative mass on the host (== device _rank_mass).
+
+    Stable sort ties break by k-mer index ascending (SURVEY A.2 / glibc
+    qsort_r parity); int64 so multi-Gb totals can't overflow.
+    """
+    counts = np.asarray(counts, dtype=np.int64)
+    order = np.argsort(counts, kind="stable")
+    excl = np.zeros(counts.shape[0], np.int64)
+    excl[order] = np.concatenate([[0], np.cumsum(counts[order])[:-1]])
+    return excl
+
+
+def unpack_outputs(vec, k: int, n: int, block: int, cand_blocks: int):
+    """Decode make_span_pipeline(packed=True) output into the finisher dict.
+
+    vec: the packed int32 device vector (pulled in ONE transfer here).
+    """
+    v = np.asarray(vec)
+    size = 1 << (2 * k)
+    nb = n // block
+    C = min(cand_blocks, nb)
+    off = 0
+
+    def take(m):
+        nonlocal off
+        out = v[off:off + m]
+        off += m
+        return out
+
+    counts = take(size)
+    total = int(take(1)[0])
+    block_last = take(nb).copy().view(np.float32)
+    run_max = take(nb).copy().view(np.float32)
+    top_idx = take(C)
+    sc_words = take(C * (block // 32)).copy().view(np.uint32)
+    scored = (
+        (sc_words[:, None] >> np.arange(32, dtype=np.uint32)) & 1
+    ).astype(bool).reshape(C, block)
+    if k <= 8:
+        cw = take(C * (block // 2)).copy().view(np.uint32)
+        codes = np.stack([cw & 0xFFFF, cw >> 16], axis=-1).astype(
+            np.int64).reshape(C, block)
+        pm = host_rank_mass(counts)[codes]
+    else:
+        pm = take(C * block).copy().view(np.uint32).astype(
+            np.int64).reshape(C, block)
+    assert off == v.shape[0], (off, v.shape)
+    return {
+        "counts": counts,
+        "total": total,
+        "block_last": block_last,
+        "run_max": run_max,
+        "top_idx": top_idx,
+        "pm": pm,
+        "scored": scored,
+    }
 
 
 @dataclasses.dataclass

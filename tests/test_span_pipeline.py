@@ -86,3 +86,33 @@ def test_sparse_pipeline_island_across_blocks():
     expect = _mass_rank_regions(seq, 4, 0.75, 50, 5.0)
     assert [(r[1], r[2]) for r in res.regions] == [(e[1], e[2]) for e in expect]
     assert len(res.regions) >= 1
+
+
+@pytest.mark.parametrize("k", [4, 8, 10])
+def test_packed_outputs_match_dict(k):
+    """packed=True fuses all finisher inputs into one int32 vector; the
+    decoded dict must reproduce the dict-mode outputs exactly (including
+    integer mass rebuilt from counts for k<=8)."""
+    from kmer_spans_tpu.spans.pipeline import unpack_outputs
+
+    rng = np.random.default_rng(99 + k)
+    seq = random_seq(rng, 40_000, n_prob=0.002)
+    s = list(seq)
+    s[9000:9500] = "AG" * 250
+    seq = "".join(s)
+    nb = _nbases(seq)
+    block, cand = 1024, 16
+    n = -(-len(nb) // block) * block
+    arr = np.full(n, 4, np.uint8)
+    arr[: len(nb)] = nb
+    fn_d = make_span_pipeline(k, block=block, cand_blocks=cand)
+    fn_p = make_span_pipeline(k, block=block, cand_blocks=cand, packed=True)
+    thr = jnp.float32(0.75)
+    ref = {kk: np.asarray(v) for kk, v in fn_d(jnp.asarray(arr), thr).items()}
+    got = unpack_outputs(fn_p(jnp.asarray(arr), thr), k, n, block, cand)
+    for kk in ref:
+        assert np.array_equal(np.asarray(got[kk]), ref[kk]), kk
+    # and the finisher agrees end to end
+    r1 = finish_spans(ref, n, 0.75, 30, 5.0, block=block)
+    r2 = finish_spans(got, n, 0.75, 30, 5.0, block=block)
+    assert r1.regions == r2.regions and r1.fallback == r2.fallback
