@@ -1,19 +1,27 @@
-"""Pallas TPU kernels for the histogram/gather hot path.
+"""Pallas TPU kernels for the spectrum-histogram hot path.
 
 pallas_count_spectrum: the spectrum histogram as a fused one-hot MXU
 matmul.  Per grid step a [T]-tile of codes becomes two one-hot matrices
 IN VMEM (never materialized to HBM) and feeds the MXU:
 
-    counts[hi, lo] += OHT[hi, t] @ OL[t, lo]
+    counts[hi, lo] += OHT[hi, t] @ OL2[t, lo]
 
 bf16 one-hots with f32 accumulation are exact (products are 0/1 and
 per-step sums are <= T < 2^24); the f32 tile is added into the int32
 output block, which Pallas revisits across the whole grid (constant
-index_map).  HBM traffic is just the codes stream — the XLA scatter-add
-path moves the same data but serializes duplicate indices.
+index_map).
 
-Only for k <= PALLAS_COUNT_MAX_K (one-hot width 4^k/128 rows must fit
-VMEM); larger k uses scatter (ops/count.py).
+LAYOUT IS THE WHOLE GAME: the hi one-hot is built [HI_N, T] (sublane
+broadcast of the (1,T) code row — free) and the lo one-hot [T, 128]
+(the (1,T) row reshaped to a (T,1) column first — a 2-vreg relayout),
+so the contraction is a plain (HI_N,T)@(T,128) matmul.  The earlier
+formulation built both one-hots as [*, T] and contracted dim 1 of both,
+forcing Mosaic to materialize a (128,T)->(T,128) transpose every step —
+measured 4.6x slower (benchmarks/count_bench.py: 1.67 ns/element vs
+7.7 for XLA's scatter-add at 4^8).
+
+Only for k <= PALLAS_COUNT_MAX_K (the [4^k/128, T] one-hot must fit
+VMEM); larger k uses XLA scatter (ops/count.py).
 
 Reference parity: replaces sequence_kmer_count's sequential increment
 loop (src/kmer_spans.c:135-155).
@@ -29,7 +37,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _LANES = 128
-PALLAS_COUNT_MAX_K = 8  # 4^8/128 = 512 one-hot rows
+PALLAS_COUNT_MAX_K = 8  # (4^8/128, 4096) bf16 one-hot = 4 MB VMEM
 
 
 def _count_kernel(codes_ref, out_ref, acc_ref, *, hi_n, tile):
@@ -40,19 +48,17 @@ def _count_kernel(codes_ref, out_ref, acc_ref, *, hi_n, tile):
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
     codes = codes_ref[0]  # [1, T] int32; invalid encoded as -1
-    hi = codes >> 7
-    lo = codes & (_LANES - 1)
-    # both one-hots laid out [*, T] — broadcasts along sublanes only, no
-    # transposes/reshapes (Mosaic relayout-free); contract T against T.
+    hi = codes >> 7       # -1 stays -1: matches no one-hot row
+    lo = (codes & (_LANES - 1)).reshape(tile, 1)  # [T, 1] column
     iota_hi = jax.lax.broadcasted_iota(jnp.int32, (hi_n, tile), 0)
-    iota_lo = jax.lax.broadcasted_iota(jnp.int32, (_LANES, tile), 0)
+    iota_lo = jax.lax.broadcasted_iota(jnp.int32, (tile, _LANES), 1)
     oht = (jnp.broadcast_to(hi, (hi_n, tile)) == iota_hi).astype(
         jnp.bfloat16)  # [hi_n, T]
-    olt = (jnp.broadcast_to(lo, (_LANES, tile)) == iota_lo).astype(
-        jnp.bfloat16)  # [128, T]
+    ol2 = (jnp.broadcast_to(lo, (tile, _LANES)) == iota_lo).astype(
+        jnp.bfloat16)  # [T, 128]
     acc_ref[:] += jax.lax.dot_general(
-        oht, olt,
-        dimension_numbers=(((1,), (1,)), ((), ())),
+        oht, ol2,
+        dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
 
@@ -63,7 +69,7 @@ def _count_kernel(codes_ref, out_ref, acc_ref, *, hi_n, tile):
 
 @functools.partial(jax.jit, static_argnames=("k", "tile"))
 def pallas_count_spectrum(
-    codes: jax.Array, kmer_valid: jax.Array, k: int, tile: int = 2048
+    codes: jax.Array, kmer_valid: jax.Array, k: int, tile: int = 4096
 ):
     """Dense 4^k int32 spectrum from codes (any shape) + validity mask."""
     size = 1 << (2 * k)

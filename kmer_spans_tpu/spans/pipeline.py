@@ -87,6 +87,7 @@ def make_span_pipeline(
         class_table_from_mass,
         prerolled_table,
     )
+    from ..ops.pallas_kernels import PALLAS_COUNT_MAX_K, pallas_count_spectrum
     from ..parallel.pipeline import _rank_mass
 
     if screen == "auto":
@@ -102,9 +103,12 @@ def make_span_pipeline(
         scored = blocked_scored(v2, kmer_valid)
         codes = jnp.where(kmer_valid, codes, 0)
         size = 1 << (2 * k)
-        counts = jnp.zeros(size, jnp.int32).at[codes].add(
-            kmer_valid.astype(jnp.int32)
-        )
+        if 4 <= k <= PALLAS_COUNT_MAX_K:
+            counts = pallas_count_spectrum(codes, kmer_valid, k)
+        else:
+            counts = jnp.zeros(size, jnp.int32).at[codes].add(
+                kmer_valid.astype(jnp.int32)
+            )
         mass = _rank_mass(counts)
         total = jnp.sum(counts).astype(jnp.float32)
         if screen == "class":
