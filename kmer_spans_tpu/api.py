@@ -104,6 +104,8 @@ def kmer_counts(seqs, k: int, with_f: bool = True, backend: str = "auto") -> Kme
 
     Sequences shorter than k are skipped (reference src/kmer_spans.c:478-479).
     """
+    if not 1 <= k <= MAX_K:
+        raise ValueError(f"k should be in [1, {MAX_K}]")
     backend = _resolve_backend(backend)
     packed = _as_seq_list(seqs)
     if backend == "jax":

@@ -120,30 +120,46 @@ def extract_segment_spans(
     if visits is not None:
         visits[0] += 1
         visits[n] -= 1
-    runs = _screen_candidates(s, min_width, min_score)
-    j = 0  # global scan frontier: everything before j is fully resolved
-    for a, b in runs:
-        j = max(j, a)
-        while j <= b:
-            # next potential excursion start within this candidate run
-            rel = s[j : b + 1] > 0.0
-            if not rel.any():
-                break
-            u = j + int(np.argmax(rel))
-            S_vals, z = _first_nonpositive(s, u)
-            top = (z - 1) if z is not None else (n - 1)
-            m_rel = int(np.argmax(S_vals[: top - u + 1]))  # first argmax
-            m = u + m_rel
-            max_score = float(S_vals[m_rel])
-            if (m - u) >= min_width and max_score >= min_score:
-                regions.append((pos_offset + u, pos_offset + m, max_score))
-                z_e = z if z is not None else n - 1
-                if visits is not None and m + 1 <= z_e:
-                    visits[m + 1] += 1
-                    visits[z_e + 1] -= 1
-                j = m + 1
-            else:
-                j = (z + 1) if z is not None else n
+    # Work stack: ("range") items get screened vectorized into candidate
+    # runs; ("run") items get the exact sequential replay.  LIFO order with
+    # runs pushed reversed keeps everything position-ordered, so a single
+    # global frontier replicates the reference's scan cursor: after an
+    # emission the suffix [m+1, run_end] is re-screened as a fresh range
+    # (one vectorized pass rejects ALL failing micro-excursions of the
+    # restarted scan at once — the per-blip python loop here used to cost
+    # ~30 us per blip); after a failing candidate the whole excursion
+    # emits nothing (SURVEY A.4) and the frontier jumps past it.
+    stack: list[tuple[int, int, bool]] = [(0, n - 1, True)]
+    frontier = 0
+    while stack:
+        a, b, needs_screen = stack.pop()
+        a = max(a, frontier)
+        if a > b:
+            continue
+        if needs_screen:
+            runs = _screen_candidates(s[a : b + 1], min_width, min_score)
+            for ra, rb in reversed(runs):
+                stack.append((a + ra, a + rb, False))
+            continue
+        rel = s[a : b + 1] > 0.0
+        if not rel.any():
+            continue
+        u = a + int(np.argmax(rel))
+        S_vals, z = _first_nonpositive(s, u)
+        top = (z - 1) if z is not None else (n - 1)
+        m_rel = int(np.argmax(S_vals[: top - u + 1]))  # first argmax
+        m = u + m_rel
+        max_score = float(S_vals[m_rel])
+        if (m - u) >= min_width and max_score >= min_score:
+            regions.append((pos_offset + u, pos_offset + m, max_score))
+            z_e = z if z is not None else n - 1
+            if visits is not None and m + 1 <= z_e:
+                visits[m + 1] += 1
+                visits[z_e + 1] -= 1
+            frontier = m + 1
+            stack.append((m + 1, b, True))
+        else:
+            frontier = (z + 1) if z is not None else n
     return regions
 
 
