@@ -144,6 +144,75 @@ def blocked_scan_prefixes(
     return FA, FB, (tA, tB)
 
 
+def blocked_scan_summaries(
+    s2d: jax.Array, scored2d: jax.Array, rows_per_step: int | None = None
+):
+    """Per-row max-plus scan summaries WITHOUT materializing prefixes.
+
+    Returns (block_max, block_last), both [nb]: the row's running-score
+    max and its value at the row end, for initial state 0 at row 0.
+
+    Cheaper algebra than the (a, b)-pair associative scan: with
+    per-position transforms f(x) = max(x + s, 0) (scored) / identity
+    (unscored), the inclusive prefix transform at j is
+        A_j = cumsum of s over scored positions <= j          (plain add)
+        B_j = A_j - min over scored i <= j of A_i             (cummin)
+    so one cumsum + one cummin replace the 2-tuple combine, and the row
+    summaries are plain maxes:
+        S_j(x) = max(x + A_j, B_j)
+        row max  = max(x + max_j A_j, max_j B_j)
+        row last = max(x + A_end, B_end).
+    Cross-row state is the usual tiny (tA, tB) composition scan.
+
+    SCREENING SEMANTICS (deliberate, sound over-approximation): unscored
+    positions pass the state through (identity) instead of the exact
+    scan's reset-to-0 (ops/scan.py score_elements).  Since every max-plus
+    transform is monotone and states are nonnegative, the returned
+    summaries are pointwise >= the exact scan's — candidate screening can
+    only ADD blocks around N-gaps, never lose a region; emitted spans are
+    unaffected (the host finisher replays candidates exactly, with true
+    resets).  The identity element is what makes A a PLAIN cumsum — the
+    reset transform is not expressible that way — and buys the ~2.3x over
+    the (a, b)-pair scan.
+    """
+    neg = jnp.array(-jnp.inf, dtype=s2d.dtype)
+    nb, B = s2d.shape
+    a = jnp.where(scored2d, s2d, jnp.zeros_like(s2d))
+    if rows_per_step is None:
+        # constant work per sequential scan step (~512K elements)
+        rows_per_step = max(8, (64 * 8192) // B)
+    R = min(rows_per_step, nb)
+    pad_rows = (-nb) % R
+    if pad_rows:
+        a = jnp.concatenate([a, jnp.zeros((pad_rows, B), a.dtype)])
+        scored2d = jnp.concatenate(
+            [scored2d, jnp.zeros((pad_rows, B), bool)]
+        )
+    G = a.shape[0] // R
+    a3 = a.reshape(G, R, B)
+    m3 = scored2d.reshape(G, R, B)
+
+    def body(_, xs):
+        ar, mr = xs  # [R, B]
+        A = jnp.cumsum(ar, axis=1)
+        P = jnp.where(mr, A, -neg)  # +inf where unscored
+        M = jax.lax.associative_scan(jnp.minimum, P, axis=1)
+        Bv = A - M  # -inf while no scored position seen yet
+        return None, (A[:, -1], Bv[:, -1], A.max(axis=1), Bv.max(axis=1))
+
+    _, (tA, tB, maxA, maxB) = jax.lax.scan(body, None, (a3, m3))
+    tA = tA.reshape(-1)[:nb]
+    tB = tB.reshape(-1)[:nb]
+    maxA = maxA.reshape(-1)[:nb]
+    maxB = maxB.reshape(-1)[:nb]
+    # cross-row composition: x entering row j (exclusive, from 0)
+    cA, cB = jax.lax.associative_scan(_combine, (tA, tB))
+    block_last = jnp.maximum(cA, cB)
+    x_in = jnp.concatenate([jnp.zeros((1,), s2d.dtype), block_last[:-1]])
+    block_max = jnp.maximum(x_in + maxA, maxB)
+    return block_max, block_last
+
+
 def blocked_scan(s2d: jax.Array, scored2d: jax.Array):
     """Max-plus scan over row-major [nb, B] tiles, initial state 0.
 

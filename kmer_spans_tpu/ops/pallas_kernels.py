@@ -6,10 +6,10 @@ IN VMEM (never materialized to HBM) and feeds the MXU:
 
     counts[hi, lo] += OHT[hi, t] @ OL2[t, lo]
 
-bf16 one-hots with f32 accumulation are exact (products are 0/1 and
-per-step sums are <= T < 2^24); the f32 tile is added into the int32
-output block, which Pallas revisits across the whole grid (constant
-index_map).
+int8 one-hots with int32 MXU accumulation are exact (products are 0/1
+and per-step sums are <= T) and run the MXU at its int8 rate — measured
+0.70 ns/element vs 0.84 for the bf16/f32 form at 4^8.  The int32 tile
+accumulates across the whole grid (constant index_map).
 
 LAYOUT IS THE WHOLE GAME: the hi one-hot is built [HI_N, T] (sublane
 broadcast of the (1,T) code row — free) and the lo one-hot [T, 128]
@@ -37,7 +37,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _LANES = 128
-PALLAS_COUNT_MAX_K = 8  # (4^8/128, 4096) bf16 one-hot = 4 MB VMEM
+PALLAS_COUNT_MAX_K = 8  # (4^8/128, 4096) int8 one-hot = 2 MB VMEM
 
 
 def _count_kernel(codes_ref, out_ref, acc_ref, *, hi_n, tile):
@@ -53,18 +53,18 @@ def _count_kernel(codes_ref, out_ref, acc_ref, *, hi_n, tile):
     iota_hi = jax.lax.broadcasted_iota(jnp.int32, (hi_n, tile), 0)
     iota_lo = jax.lax.broadcasted_iota(jnp.int32, (tile, _LANES), 1)
     oht = (jnp.broadcast_to(hi, (hi_n, tile)) == iota_hi).astype(
-        jnp.bfloat16)  # [hi_n, T]
+        jnp.int8)  # [hi_n, T]
     ol2 = (jnp.broadcast_to(lo, (tile, _LANES)) == iota_lo).astype(
-        jnp.bfloat16)  # [T, 128]
+        jnp.int8)  # [T, 128]
     acc_ref[:] += jax.lax.dot_general(
         oht, ol2,
         dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=jnp.int32,
     )
 
     @pl.when(step == pl.num_programs(0) - 1)
     def _finish():
-        out_ref[:] = acc_ref[:].astype(jnp.int32)
+        out_ref[:] = acc_ref[:]
 
 
 @functools.partial(jax.jit, static_argnames=("k", "tile"))
@@ -98,7 +98,7 @@ def pallas_count_spectrum(
         out_specs=pl.BlockSpec((hi_n, _LANES), lambda i: (0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((hi_n, _LANES), jnp.int32),
-        scratch_shapes=[pltpu.VMEM((hi_n, _LANES), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((hi_n, _LANES), jnp.int32)],
         interpret=jax.default_backend() == "cpu",  # tests run on CPU
     )(flat)
     return counts2d.reshape(size)

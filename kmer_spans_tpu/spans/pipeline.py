@@ -78,7 +78,7 @@ def make_span_pipeline(
 
     from ..ops.blocked import (
         blocked_codes,
-        blocked_scan,
+        blocked_scan_summaries,
         blocked_scored,
     )
     from ..ops.gather import (
@@ -97,10 +97,16 @@ def make_span_pipeline(
     def fn(nbases, thr):
         n = nbases.shape[0]
         nb = n // block
-        b2 = (nbases & 3).reshape(nb, block)
-        v2 = (nbases < 4).reshape(nb, block)
+        # elementwise phases (codes/screen) run on wide rows for vreg
+        # efficiency; scan summaries + the candidate gather run at the
+        # ``block`` granularity (smaller blocks pull fewer useless bytes
+        # through the slow D2H path).  Both views share one flat layout,
+        # so the reshapes are free.
+        W = 8192 if n % 8192 == 0 and block < 8192 else block
+        b2 = (nbases & 3).reshape(n // W, W)
+        v2 = (nbases < 4).reshape(n // W, W)
         codes, kmer_valid = blocked_codes(b2, v2, k)
-        scored = blocked_scored(v2, kmer_valid)
+        scored = blocked_scored(v2, kmer_valid).reshape(nb, block)
         codes = jnp.where(kmer_valid, codes, 0)
         size = 1 << (2 * k)
         if 4 <= k <= PALLAS_COUNT_MAX_K:
@@ -116,10 +122,9 @@ def make_span_pipeline(
             s = class_screen_scores(tabR, codes, thr)
         else:
             s = (mass[codes].astype(jnp.float32) - thr * total) / total
-        Sb, _ = blocked_scan(s, scored)
-
-        block_max = Sb.max(axis=1)
-        block_last = Sb[:, -1]
+        s = s.reshape(nb, block)
+        codes = codes.reshape(nb, block)
+        block_max, block_last = blocked_scan_summaries(s, scored)
         # positive-run segmentation over blocks: a block chains to the
         # previous one if S was positive crossing the boundary
         linked = jnp.concatenate(
