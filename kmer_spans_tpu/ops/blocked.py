@@ -213,6 +213,84 @@ def blocked_scan_summaries(
     return block_max, block_last
 
 
+#: int32 "-inf" sentinel for B-parts of integer screen summaries: a row
+#: with no scored position yet has B = 0 - 2^30; anything <= SCREEN_NEG/2
+#: decodes as true -inf on the host.
+SCREEN_NEG = -(1 << 30)
+
+
+def blocked_scan_summaries_int(
+    s2d: jax.Array, scored2d: jax.Array, rows_per_step: int | None = None
+):
+    """Integer per-row max-plus summaries, NO cross-row composition.
+
+    s2d: int32 screen scores (units of 2^-12 rank; ops/gather.py
+    class_scores_int / fine_scores_int).  Returns per-row int32 vectors
+    (tA, tB, maxA, maxB): the row transform is x -> max(x + tA, tB) and
+    the row's running max from incoming x is max(x + maxA, maxB).
+    B-parts use the SCREEN_NEG sentinel for "no scored position yet".
+
+    Within a row everything is EXACT int32 (|sums| <= 8192 * 2^13 < 2^27);
+    callers compose rows exactly in int64 on the host (soundness) and
+    approximately in f32 on device (top-k ordering only) — see
+    compose_summaries_f32 / spans.pipeline.compose_summaries_exact.
+
+    Same identity-at-unscored over-approximation as
+    blocked_scan_summaries (sound; finisher replays candidates exactly).
+    """
+    nb, B = s2d.shape
+    inf = jnp.int32(1 << 30)
+    a = jnp.where(scored2d, s2d, 0).astype(jnp.int32)
+    if rows_per_step is None:
+        rows_per_step = max(8, (64 * 8192) // B)
+    R = min(rows_per_step, nb)
+    pad_rows = (-nb) % R
+    if pad_rows:
+        a = jnp.concatenate([a, jnp.zeros((pad_rows, B), a.dtype)])
+        scored2d = jnp.concatenate(
+            [scored2d, jnp.zeros((pad_rows, B), bool)]
+        )
+    G = a.shape[0] // R
+    a3 = a.reshape(G, R, B)
+    m3 = scored2d.reshape(G, R, B)
+
+    def body(_, xs):
+        ar, mr = xs  # [R, B]
+        A = jnp.cumsum(ar, axis=1)
+        P = jnp.where(mr, A, inf)
+        M = jax.lax.associative_scan(jnp.minimum, P, axis=1)
+        Bv = A - M  # >= -2^30 - 2^27: no int32 overflow
+        return None, (A[:, -1], Bv[:, -1], A.max(axis=1), Bv.max(axis=1))
+
+    _, (tA, tB, maxA, maxB) = jax.lax.scan(body, None, (a3, m3))
+    return (
+        tA.reshape(-1)[:nb],
+        tB.reshape(-1)[:nb],
+        maxA.reshape(-1)[:nb],
+        maxB.reshape(-1)[:nb],
+    )
+
+
+def compose_summaries_f32(tA, tB, maxA, maxB):
+    """Approximate f32 cross-row composition (device; top-k ordering only).
+
+    Returns (block_max, block_last) f32 — the soundness-critical
+    composition happens again on the host in exact int64.
+    """
+    neg = jnp.float32(-jnp.inf)
+    sent = SCREEN_NEG // 2
+    tAf = tA.astype(jnp.float32)
+    tBf = jnp.where(tB <= sent, neg, tB.astype(jnp.float32))
+    maxBf = jnp.where(maxB <= sent, neg, maxB.astype(jnp.float32))
+    cA, cB = jax.lax.associative_scan(_combine, (tAf, tBf))
+    block_last = jnp.maximum(cA, cB)
+    x_in = jnp.concatenate(
+        [jnp.zeros((1,), jnp.float32), block_last[:-1]]
+    )
+    block_max = jnp.maximum(x_in + maxA.astype(jnp.float32), maxBf)
+    return block_max, block_last
+
+
 def blocked_scan(s2d: jax.Array, scored2d: jax.Array):
     """Max-plus scan over row-major [nb, B] tiles, initial state 0.
 

@@ -52,6 +52,59 @@ _BLOCK_ROWS = 64           # (64, 128) codes per grid step (8 sub-vregs)
 _LANES = 128
 
 
+#: integer screening scale: screen scores live in units of 2^-12 rank.
+#: Within-block sums are bounded by 8192 * (4096 + slack) < 2^27 (int32
+#: safe); the cross-block composition runs in int64 on the host (exact to
+#: genome sizes ~1e12 bases).
+SCREEN_SCALE = 4096
+
+
+def screen_thr_q(thr):
+    """Sound integer threshold: thr_q <= SCREEN_SCALE * thr, always.
+
+    f32 multiply rounds to nearest (|err| <= 0.5 ulp < 1 here), so
+    floor(thr*4096) - 1 can never exceed the true product.
+    """
+    import jax.numpy as jnp
+
+    return jnp.floor(thr * SCREEN_SCALE).astype(jnp.int32) - 1
+
+
+def class_scores_int(cls_nibble, thr_q):
+    """Integer upper-bound screen score (units of 2^-12 rank).
+
+    s_int = (cls+1)*256 + 3 - thr_q  >=  SCREEN_SCALE * (rank - thr)
+    for any true rank in the class: (cls+1)/16 >= rank up to one f32
+    rounding of the table build (< 2^-11 scaled units), covered by the +3
+    together with thr_q's -1 slack.  Monotonicity of the max-plus scan
+    then makes every block summary an exact-integer UPPER bound on the
+    true scaled score — no floating-point margins anywhere.
+    """
+    return (cls_nibble + 1) * (SCREEN_SCALE // CLASS_LEVELS) + 3 - thr_q
+
+
+def fine_class_table(mass, total_f32):
+    """int16 4096-level rank-upper-bound table (k > PALLAS_CLASS_MAX_K).
+
+    tab[c] = floor(rank_f32 * 4096) + 1 >= 4096*rank - 2^-11; gathered by
+    XLA (the packed Pallas kernel's enumerated rows get too numerous past
+    4^9).  Screen score: tab[codes] + 2 - thr_q (same soundness slack as
+    class_scores_int).
+    """
+    import jax.numpy as jnp
+
+    rank = mass.astype(jnp.float32) / jnp.maximum(total_f32, 1.0)
+    return (
+        jnp.clip((rank * SCREEN_SCALE).astype(jnp.int32), 0, SCREEN_SCALE)
+        + 1
+    ).astype(jnp.int16)
+
+
+def fine_scores_int(tab_vals, thr_q):
+    """Integer screen scores from a fine_class_table gather."""
+    return tab_vals.astype(jnp.int32) + 2 - thr_q
+
+
 def class_table_from_mass(mass, total_f32):
     """Packed 4-bit rank-upper-bound classes from integer cumulative mass.
 

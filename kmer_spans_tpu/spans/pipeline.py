@@ -2,40 +2,48 @@
 
 Production shape of the count→rank→scan→span-call flow:
 
-  * ONE jitted program computes codes, spectrum, integer-mass ranks, the
-    max-plus scan, AND compacts the result to fixed-size outputs:
-      - per-block summaries (max S, boundary S, any-scored) for
-        host-side candidate-run discovery, and
+  * ONE jitted program computes codes, spectrum, integer-mass ranks, an
+    INTEGER upper-bound screen scan, and compacts the result to
+    fixed-size outputs:
+      - per-block integer max-plus summaries (tA, tB, maxA, maxB) for
+        host-side EXACT candidate-run discovery (composed in int64 — no
+        floating-point margins anywhere in the screen), and
       - a top-C gather of the blocks belonging to the highest-scoring
-        *positive runs* (segmented run-max scans, forward+backward), with
-        their per-position rank mass / scored / valid flags.
+        positive runs (f32 composition, ordering only), with their
+        per-position codes / scored flags.
   * the host then replays ONLY the candidate blocks sequentially in f64
     (spans/extract.py semantics) — regions, first-argmax, jump-back
     rescans — without ever pulling O(n) arrays off the device.
 
+SOUNDNESS (replaces round-1's heuristic f32 margins): screen scores are
+integers s_int >= SCREEN_SCALE * s_true (ops/gather.py class_scores_int),
+per-block summaries are exact int32, and the cross-block composition is
+exact int64 on the host.  Since max-plus scans are monotone, every
+composed block_max is a true upper bound on the reference's running
+score — a block whose bound is below SCREEN_SCALE*min_score provably
+emits nothing.  The device's f32 composition only orders the top-C
+gather; if it mis-ranks and a needed block wasn't pulled, the host's
+exact bound detects it and flags fallback (never silently drops).
+
 Fixed shapes matter doubly here: XLA compiles once per (n, k), and the
 driver environment pays seconds-to-minutes per distinct compiled program.
 
-Rank values in this pipeline are mass/total (a single f64 division of the
-exact integer cumulative mass) rather than the reference's sequential
-f64 chain; they can differ from the chain in the last ulp.  The api
-"host"/"jax" exact backends reproduce the chain bit-for-bit; this fast
-path is for throughput at scale (the positive/negative decision is exact
-via integer comparison either way).
-
-The default screen ("class") gathers a packed 4-bit rank UPPER BOUND per
-position through the enumerated Pallas kernel (ops/gather.py, ~3x faster
-than XLA's gather).  Because the max-plus scan is monotone in its inputs
-this over-approximation can only ADD candidate blocks; emitted regions
-are unchanged (exact integer-mass replay in the finisher).
+Reference parity: this is the device form of kmer_low_comp_regions
+(src/kmer_spans.c:548-621); emitted spans replay the exact semantics of
+kmer_regions (src/kmer_spans.c:243-307) from integer mass.
 """
 
 from __future__ import annotations
 
 import dataclasses
-import functools
 
 import numpy as np
+
+from ..ops.blocked import SCREEN_NEG
+from ..ops.gather import SCREEN_SCALE
+
+#: host int64 "-inf" for composed B-parts
+_NEG64 = -(1 << 62)
 
 
 def _seg_max_combine(left, right):
@@ -57,20 +65,22 @@ def make_span_pipeline(
 ):
     """Build the jitted device step.
 
-    Returns fn(nbases u8 [n]; thr f32) -> dict of fixed-shape outputs.
+    Returns fn(nbases u8 [n]; thr f32) -> fixed-shape outputs.
     n must be a multiple of ``block``.  nbases encodes N as value 4.
 
     screen: "class" — packed 4-bit rank-upper-bound table gathered by the
-    Pallas enumerated kernel (ops/gather.py; sound over-approximation,
-    ~10x faster than XLA's gather; exact spans still come from the
-    finisher's integer-mass replay).  "f32" — near-exact f32 rank gather
-    via XLA.  "auto" — class for k <= PALLAS_CLASS_MAX_K, else f32.
+    Pallas enumerated kernel (ops/gather.py; ~10x faster than XLA's
+    gather).  "fine" — int16 4096-level table via XLA gather (any k).
+    "auto" — class for k <= PALLAS_CLASS_MAX_K, else fine.  Both yield
+    integer upper-bound scores; exact spans always come from the
+    finisher's integer-mass replay.
 
     packed: return ONE flat int32 vector instead of a dict — the device
     tunnel pays ~30 ms latency per D2H pull, so the finisher inputs are
-    fused: counts, total, bitcast f32 summaries, top_idx, bit-packed
-    scored flags, and (k <= 8) 16-bit candidate codes instead of 32-bit
-    mass (the host rebuilds exact mass from counts).  Decode with
+    fused: counts, total, int32 block summaries, top_idx, bit-packed
+    scored flags, and candidate codes (16-bit pairs for k <= 8, int32
+    words above; the host rebuilds exact mass from counts — requires
+    k <= 13 so the host mass table stays <= 0.5 GB).  Decode with
     unpack_outputs.
     """
     import jax
@@ -78,20 +88,29 @@ def make_span_pipeline(
 
     from ..ops.blocked import (
         blocked_codes,
-        blocked_scan_summaries,
+        blocked_scan_summaries_int,
         blocked_scored,
+        compose_summaries_f32,
     )
     from ..ops.gather import (
         PALLAS_CLASS_MAX_K,
-        class_screen_scores,
+        class_scores_int,
         class_table_from_mass,
+        fine_class_table,
+        fine_scores_int,
+        pallas_word_gather,
         prerolled_table,
+        screen_thr_q,
+        CLASS_BITS,
+        CLASS_LEVELS,
     )
     from ..ops.pallas_kernels import PALLAS_COUNT_MAX_K, pallas_count_spectrum
     from ..parallel.pipeline import _rank_mass
 
     if screen == "auto":
-        screen = "class" if k <= PALLAS_CLASS_MAX_K else "f32"
+        screen = "class" if k <= PALLAS_CLASS_MAX_K else "fine"
+    if packed and k > 13:
+        raise ValueError("packed mode supports k <= 13 (host mass rebuild)")
 
     @jax.jit
     def fn(nbases, thr):
@@ -117,14 +136,19 @@ def make_span_pipeline(
             )
         mass = _rank_mass(counts)
         total = jnp.sum(counts).astype(jnp.float32)
+        thr_q = screen_thr_q(thr)
         if screen == "class":
             tabR = prerolled_table(class_table_from_mass(mass, total))
-            s = class_screen_scores(tabR, codes, thr)
+            words = pallas_word_gather(tabR, codes >> 3)
+            nib = (words >> ((codes & 7) * CLASS_BITS)) & (CLASS_LEVELS - 1)
+            s_int = class_scores_int(nib, thr_q)
         else:
-            s = (mass[codes].astype(jnp.float32) - thr * total) / total
-        s = s.reshape(nb, block)
+            tab = fine_class_table(mass, total)
+            s_int = fine_scores_int(tab[codes], thr_q)
+        s_int = s_int.reshape(nb, block)
         codes = codes.reshape(nb, block)
-        block_max, block_last = blocked_scan_summaries(s, scored)
+        tA, tB, maxA, maxB = blocked_scan_summaries_int(s_int, scored)
+        block_max, block_last = compose_summaries_f32(tA, tB, maxA, maxB)
         # positive-run segmentation over blocks: a block chains to the
         # previous one if S was positive crossing the boundary
         linked = jnp.concatenate(
@@ -142,17 +166,17 @@ def make_span_pipeline(
         run_max = jnp.maximum(fwd, jnp.flip(bwd))
 
         # top-C blocks by run-aware neediness (ties broken by index order)
-        need = run_max
-        top_need, top_idx = jax.lax.top_k(need, min(cand_blocks, nb))
+        top_need, top_idx = jax.lax.top_k(run_max, min(cand_blocks, nb))
         top_idx = jnp.sort(top_idx)
         sc_cand = scored[top_idx]
         if not packed:
-            # exact integer mass only for candidate blocks (small gather)
             return {
                 "counts": counts,
                 "total": jnp.sum(counts),
-                "block_last": block_last,
-                "run_max": run_max,
+                "tA": tA,
+                "tB": tB,
+                "maxA": maxA,
+                "maxB": maxB,
                 "top_idx": top_idx,
                 "pm": mass[codes[top_idx]],
                 "scored": sc_cand,
@@ -169,15 +193,17 @@ def make_span_pipeline(
             cc = codes[top_idx].astype(jnp.uint32).reshape(C, block // 2, 2)
             cand_words = cc[..., 0] | (cc[..., 1] << 16)
         else:
-            cand_words = mass[codes[top_idx]].astype(jnp.uint32)
+            cand_words = codes[top_idx].astype(jnp.uint32)
         bc = lambda x: jax.lax.bitcast_convert_type(x, jnp.int32)
         # explicit int32 everywhere: under jax_enable_x64 (tests) parts
         # would otherwise promote the concat to int64
         return jnp.concatenate([
             counts.reshape(-1).astype(jnp.int32),
             jnp.sum(counts).reshape(1).astype(jnp.int32),
-            bc(block_last.astype(jnp.float32)),
-            bc(run_max.astype(jnp.float32)),
+            tA.astype(jnp.int32),
+            tB.astype(jnp.int32),
+            maxA.astype(jnp.int32),
+            maxB.astype(jnp.int32),
             top_idx.astype(jnp.int32),
             bc(sc_words.astype(jnp.uint32)).reshape(-1),
             bc(cand_words.astype(jnp.uint32)).reshape(-1),
@@ -199,6 +225,34 @@ def host_rank_mass(counts: np.ndarray) -> np.ndarray:
     return excl
 
 
+def compose_summaries_exact(tA, tB, maxA, maxB):
+    """EXACT int64 cross-block composition of integer screen summaries.
+
+    Composition of transforms f_j(x) = max(x + tA_j, tB_j) for blocks
+    0..i is (CA_i, CB_i) with CA = cumsum(tA) and
+    CB_i = CA_i + max_{j<=i}(tB_j - CA_j); starting state 0 gives
+    block_last = max(CA, CB) and
+    block_max_i = max(block_last_{i-1} + maxA_i, maxB_i).
+
+    Returns (block_max, block_last) int64 in SCREEN_SCALE units — true
+    upper bounds on the scaled running score (exact integer arithmetic;
+    valid to genome sizes ~1e12).
+    """
+    sent = SCREEN_NEG // 2
+    tA = np.asarray(tA, np.int64)
+    tB = np.where(np.asarray(tB) <= sent, _NEG64, np.asarray(tB, np.int64))
+    maxA = np.asarray(maxA, np.int64)
+    maxB = np.where(
+        np.asarray(maxB) <= sent, _NEG64, np.asarray(maxB, np.int64)
+    )
+    CA = np.cumsum(tA)
+    CB = CA + np.maximum.accumulate(tB - CA)
+    block_last = np.maximum(CA, CB)
+    x_in = np.concatenate([[np.int64(0)], block_last[:-1]])
+    block_max = np.maximum(x_in + maxA, maxB)
+    return block_max, block_last
+
+
 def unpack_outputs(vec, k: int, n: int, block: int, cand_blocks: int):
     """Decode make_span_pipeline(packed=True) output into the finisher dict.
 
@@ -218,8 +272,10 @@ def unpack_outputs(vec, k: int, n: int, block: int, cand_blocks: int):
 
     counts = take(size)
     total = int(take(1)[0])
-    block_last = take(nb).copy().view(np.float32)
-    run_max = take(nb).copy().view(np.float32)
+    tA = take(nb)
+    tB = take(nb)
+    maxA = take(nb)
+    maxB = take(nb)
     top_idx = take(C)
     sc_words = take(C * (block // 32)).copy().view(np.uint32)
     scored = (
@@ -229,16 +285,18 @@ def unpack_outputs(vec, k: int, n: int, block: int, cand_blocks: int):
         cw = take(C * (block // 2)).copy().view(np.uint32)
         codes = np.stack([cw & 0xFFFF, cw >> 16], axis=-1).astype(
             np.int64).reshape(C, block)
-        pm = host_rank_mass(counts)[codes]
     else:
-        pm = take(C * block).copy().view(np.uint32).astype(
+        codes = take(C * block).copy().view(np.uint32).astype(
             np.int64).reshape(C, block)
+    pm = host_rank_mass(counts)[codes]
     assert off == v.shape[0], (off, v.shape)
     return {
         "counts": counts,
         "total": total,
-        "block_last": block_last,
-        "run_max": run_max,
+        "tA": tA,
+        "tB": tB,
+        "maxA": maxA,
+        "maxB": maxB,
         "top_idx": top_idx,
         "pm": pm,
         "scored": scored,
@@ -258,33 +316,37 @@ def finish_spans(
     min_width: int,
     min_score: float,
     block: int = 8192,
-    margin: float | None = None,
     seq_id: int = 0,
 ) -> SpanPipelineResult:
-    """Host finisher: candidate discovery on block summaries + exact replay.
+    """Host finisher: exact candidate discovery + exact replay.
 
-    Pulls only the fixed-size outputs of make_span_pipeline.  Returns
-    fallback=True when a candidate run was not fully covered by the top-C
-    gather (caller should rerun via the exact api path).
+    Composes the integer block summaries in int64 (sound upper bound on
+    every block's running-score max — see module docstring), assembles
+    candidate stretches, and replays them in exact f64 from integer mass.
+    Returns fallback=True when a candidate run was not fully covered by
+    the top-C gather (caller should rerun via the exact api path).
     """
-    run_max = np.asarray(out["run_max"])
-    last = np.asarray(out["block_last"])
+    block_max, block_last = compose_summaries_exact(
+        out["tA"], out["tB"], out["maxA"], out["maxB"]
+    )
     top_idx = np.asarray(out["top_idx"])
     total = float(np.asarray(out["total"]))
-    nb = run_max.shape[0]
-    if margin is None:
-        # cover the f32 tree-scan's accumulated rounding on long excursions
-        margin = 1e-3 * (1.0 + abs(min_score))
+    nb = block_max.shape[0]
 
-    # candidate runs: maximal chains of blocks (linked by positive boundary)
-    # whose run max could pass min_score
+    # exact candidacy, RUN-aware: blocks chain into a run while the screen
+    # score stays positive across the boundary; all blocks of a run whose
+    # max could reach min_score are needed (the exact replay must start at
+    # the excursion start, where true S provably == 0: the block before a
+    # run start has screen block_last <= 0, and 0 <= S_true <= S_screen).
+    # (int64 <-> f64 comparison exact below 2^53.)
     linked = np.zeros(nb, bool)
-    linked[1:] = last[:-1] > 0
-    cand = run_max >= (min_score - margin)
+    linked[1:] = block_last[:-1] > 0
+    starts = np.nonzero(~linked)[0]
+    run_of = np.cumsum(~linked) - 1
+    run_max = np.maximum.reduceat(block_max, starts)[run_of]
+    cand = run_max >= float(min_score) * SCREEN_SCALE
     if not cand.any():
         return SpanPipelineResult(regions=[], fallback=False)
-    # runs of candidacy: a run is a maximal stretch of blocks where cand
-    # holds and consecutive blocks are linked OR adjacent-and-cand
     have = np.zeros(nb, bool)
     have[top_idx] = True
     if (cand & ~have).any():
@@ -313,24 +375,14 @@ def finish_spans(
         regions.extend(
             _replay_stretch(
                 s_flat, sc_flat, base_pos, min_width, min_score, seq_id,
-                leading_positive=bool(last[i - 1] > 0) if i > 0 else False,
             )
         )
         i = j + 1
     return SpanPipelineResult(regions=regions, fallback=False)
 
 
-def _replay_stretch(s, scored, base_pos, min_width, min_score, seq_id,
-                    leading_positive=False):
-    """Exact f64 replay over one assembled stretch (as spans/extract.py).
-
-    leading_positive: S was positive entering this stretch — the excursion
-    began in a block below the candidate threshold, which cannot happen for
-    a run that could emit (its run_max would qualify the earlier block);
-    treated as fallback-worthy but in practice means the excursion's
-    emitting part starts here.  We conservatively replay from the stretch
-    start in that case.
-    """
+def _replay_stretch(s, scored, base_pos, min_width, min_score, seq_id):
+    """Exact f64 replay over one assembled stretch (as spans/extract.py)."""
     from .extract import extract_spans
 
     regs = extract_spans(s, scored, min_width, min_score, seq_id=seq_id)
