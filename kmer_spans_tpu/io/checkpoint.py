@@ -7,7 +7,7 @@ Two artifacts:
     spectra (k >= 13, where 4^k counts don't fit one int32 file
     comfortably): flat .npy shards + a JSON manifest.
   * Stream checkpoints — the streaming pipeline's scan state at chunk
-    granularity: chunk index, (cA, cB) carry, rolling k-mer halo, and the
+    granularity: chunk index, exact int64 screen carry, rolling k-mer halo, and the
     open-excursion buffer.  A killed host resumes the scan pass at the
     last completed chunk instead of restarting the genome.
 """
@@ -62,8 +62,7 @@ class StreamCheckpoint:
     """Scan-pass state after completing chunk ``chunk_idx``."""
 
     chunk_idx: int
-    cA: float
-    cB: float
+    x_in: int  # exact int64 screen bound entering the next chunk
     halo_bytes: bytes  # previous chunk's trailing k-1 nbases
     open_start: int
     open_s: np.ndarray | None
@@ -74,8 +73,7 @@ class StreamCheckpoint:
         np.savez(
             path,
             chunk_idx=self.chunk_idx,
-            cA=self.cA,
-            cB=self.cB,
+            x_in=np.int64(self.x_in),
             halo=np.frombuffer(self.halo_bytes, dtype=np.uint8),
             open_start=self.open_start,
             open_s=self.open_s if self.open_s is not None else np.zeros(0),
@@ -101,8 +99,7 @@ class StreamCheckpoint:
         ]
         return cls(
             chunk_idx=int(d["chunk_idx"]),
-            cA=float(d["cA"]),
-            cB=float(d["cB"]),
+            x_in=int(d["x_in"]),
             halo_bytes=d["halo"].tobytes(),
             open_start=int(d["open_start"]),
             open_s=d["open_s"] if has_open else None,

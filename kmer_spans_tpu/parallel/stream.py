@@ -3,19 +3,36 @@
 Two compiled programs (shapes fixed => exactly two XLA compiles per (k,
 chunk) config, however large the genome):
 
-  * count_chunk(nbases)                  -> partial spectrum (device accum)
-  * scan_chunk(nbases, mass, carry, ...) -> block summaries + candidate
-                                            gather + chunk transform
+  * count_chunk(nbases)                  -> partial int32 spectrum, added
+                                            into an int64 device accumulator
+                                            (no 2^31 ceiling anywhere)
+  * scan_chunk(nbases, screen_tab, ...)  -> integer block summaries +
+                                            candidate/margin code gathers
 
-The scan state crosses chunk boundaries by max-plus transform composition
-(S_next = max(S_in + A, B)); the first k-1 positions of each chunk see the
-previous chunk's tail bases via an explicit halo argument, and the scored
-rule's lookahead byte rides in the same way — a chunk boundary is neither
-an N gap nor a genome end.
+The scan gathers ONLY from a small quantized rank-class table
+(ops/gather.py): 4-bit packed words through the enumerated Pallas kernel
+for k <= 9, an int16 4096-level table above.  The EXACT rank mass lives
+on the host in int64 (stats.ranks.cumulative_mass — the analog of the
+reference's f64 rank chain, src/kmer_spans.c:189-202, valid past 2^31
+k-mers); candidates are replayed from host mass via their pulled codes,
+so no O(n) array and no 64-bit value ever crosses the device tunnel.
+
+SOUNDNESS: screen scores are integer upper bounds (SCREEN_SCALE units),
+per-block summaries exact int32, and the cross-block/cross-chunk
+composition runs in exact int64 on the host — a block whose composed
+bound is below min_score provably emits nothing (no f32 margins).  The
+device's f32 composition only orders the top-C gather; misses are
+detected exactly and flagged in ``unresolved``.
+
+The scan state crosses chunk boundaries as the host's exact int64
+running bound; the first k-1 positions of each chunk see the previous
+chunk's tail bases via an explicit halo argument, and the scored rule's
+lookahead byte rides in the same way — a chunk boundary is neither an N
+gap nor a genome end.
 
 Host-side, spans are extracted per chunk from the candidate blocks
 (spans/extract.py exact replay); excursions that straddle a boundary are
-stitched from each chunk's pulled tail/head blocks.  If a straddling
+stitched from each chunk's pulled tail/head margins.  If a straddling
 excursion extends beyond the pulled margin the pipeline reports it in
 ``unresolved`` rather than guessing (callers rerun those windows through
 the exact api path).
@@ -31,13 +48,40 @@ import os
 
 import numpy as np
 
+from ..ops.gather import SCREEN_SCALE
+
+_NEG64 = -(1 << 62)
+
 
 @dataclasses.dataclass
 class StreamResult:
     regions: list  # (seq_id, beg, end, score) global 1-based coords
     n_kmers: int
     unresolved: list  # (chunk_idx, reason) windows needing exact rerun
-    counts_device: object  # device array, 4^k (pull lazily if needed)
+    counts_host: object  # int64 np spectrum (None until finish_rank ran)
+
+
+def host_class_words(mass: np.ndarray, total: int) -> np.ndarray:
+    """Packed 4-bit class table from int64 mass, on the host.
+
+    Bit-identical to ops.gather.class_table_from_mass (same f32 IEEE ops),
+    so the device soundness slack derivation applies unchanged.
+    """
+    rank = mass.astype(np.float32) / np.float32(max(total, 1))
+    cls = np.clip((rank * 16).astype(np.int32), 0, 15)
+    w = cls.reshape(-1, 8)
+    shifts = (np.arange(8, dtype=np.int32) * 4)
+    return np.bitwise_or.reduce(w << shifts[None, :], axis=1).astype(
+        np.int32)
+
+
+def host_fine_table(mass: np.ndarray, total: int) -> np.ndarray:
+    """int16 4096-level class table from int64 mass, on the host
+    (== ops.gather.fine_class_table)."""
+    rank = mass.astype(np.float32) / np.float32(max(total, 1))
+    return (
+        np.clip((rank * SCREEN_SCALE).astype(np.int32), 0, SCREEN_SCALE) + 1
+    ).astype(np.int16)
 
 
 class StreamingSpanPipeline:
@@ -56,12 +100,25 @@ class StreamingSpanPipeline:
 
         from ..ops.blocked import (
             blocked_codes,
-            blocked_scan_prefixes,
+            blocked_scan_summaries_int,
             blocked_scored,
+            compose_summaries_f32,
         )
-        from .pipeline import _rank_mass
+        from ..ops.gather import (
+            CLASS_BITS,
+            CLASS_LEVELS,
+            PALLAS_CLASS_MAX_K,
+            class_scores_int,
+            fine_scores_int,
+            pallas_word_gather,
+            prerolled_table,
+            screen_thr_q,
+        )
+        from ..ops.pallas_kernels import (
+            PALLAS_COUNT_MAX_K,
+            pallas_count_spectrum,
+        )
         from ..spans.pipeline import _seg_max_combine
-        from ..ops.scan import _combine
 
         if chunk_bases % block:
             raise ValueError("chunk_bases must be a multiple of block")
@@ -73,24 +130,52 @@ class StreamingSpanPipeline:
         nb = chunk_bases // block
         size = 1 << (2 * k)
         h = k - 1
+        use_class = k <= PALLAS_CLASS_MAX_K
+        self._use_class = use_class
 
         @jax.jit
-        def count_chunk(nbases, acc, halo_b, halo_v):
+        def count_chunk(nbases, acc_hi, acc_lo, halo_b, halo_v):
             b2 = (nbases & 3).reshape(nb, block)
             v2 = (nbases < 4).reshape(nb, block)
             codes, kv = blocked_codes(
                 b2, v2, k, first_bases=halo_b, first_valid=halo_v
             )
             codes = jnp.where(kv, codes, 0)
-            return acc.at[codes].add(kv.astype(jnp.int32))
+            if 4 <= k <= PALLAS_COUNT_MAX_K:
+                part = pallas_count_spectrum(codes, kv, k)
+            else:
+                part = jnp.zeros(size, jnp.int32).at[codes].add(
+                    kv.astype(jnp.int32))
+            # exact wide accumulation WITHOUT device int64 (jnp silently
+            # truncates int64 when x64 is off — the production default):
+            # an int32 (hi, lo) pair, lo < 2^16 between chunks, part <
+            # chunk_bases <= 2^30, so lo+part never overflows; per-kmer
+            # totals are exact to 2^47 (poly-A at Gb scale can't overflow)
+            lo2 = acc_lo + part
+            return acc_hi + (lo2 >> 16), lo2 & 0xFFFF
+
+        C = min(cand_blocks, nb)
+        m = margin_blocks
+
+        def pack_codes(c2d):
+            # [R, block] int32 codes -> packed int32 words
+            if k <= 8:
+                cc = c2d.astype(jnp.uint32).reshape(-1, block // 2, 2)
+                return jax.lax.bitcast_convert_type(
+                    cc[..., 0] | (cc[..., 1] << 16), jnp.int32
+                ).reshape(-1)
+            return c2d.astype(jnp.int32).reshape(-1)
+
+        def pack_bits(b2d):
+            bits32 = jnp.arange(32, dtype=jnp.uint32)
+            w = jnp.sum(
+                b2d.reshape(-1, block // 32, 32).astype(jnp.uint32)
+                << bits32[None, None, :],
+                axis=-1, dtype=jnp.uint32)
+            return jax.lax.bitcast_convert_type(w, jnp.int32).reshape(-1)
 
         @jax.jit
-        def rank(acc):
-            return _rank_mass(acc), jnp.sum(acc)
-
-        @jax.jit
-        def scan_chunk(nbases, mass, total32, thr, cA_in, cB_in,
-                       halo_b, halo_v, next_v):
+        def scan_chunk(nbases, tab, thr, x_in_f, halo_b, halo_v, next_v):
             b2 = (nbases & 3).reshape(nb, block)
             v2 = (nbases < 4).reshape(nb, block)
             codes, kv = blocked_codes(
@@ -98,18 +183,24 @@ class StreamingSpanPipeline:
             )
             scored = blocked_scored(v2, kv, next_valid=next_v)
             codes = jnp.where(kv, codes, 0)
-            pm = mass[codes]
-            s = (pm.astype(jnp.float32) - thr * total32) / total32
-            FA, FB, (tA, tB) = blocked_scan_prefixes(s, scored)
-            S = jnp.maximum(cA_in + FA, jnp.maximum(cB_in + FA, FB))
-            # NOTE: incoming state x = max(cA_in, cB_in) applied to (FA,FB):
-            # S = max(x + FA, FB); written as above because x >= 0 always
-            # (it IS a score), so max(cA_in, cB_in) + FA == max(cA_in+FA,
-            # cB_in+FA).
-            block_max = S.reshape(nb, block).max(axis=1)
-            block_last = S.reshape(nb, block)[:, -1]
+            thr_q = screen_thr_q(thr)
+            if use_class:
+                tabR = prerolled_table(tab)
+                words = pallas_word_gather(tabR, codes >> 3)
+                nib = (words >> ((codes & 7) * CLASS_BITS)) & (
+                    CLASS_LEVELS - 1)
+                s_int = class_scores_int(nib, thr_q)
+            else:
+                s_int = fine_scores_int(tab[codes], thr_q)
+            tA, tB, maxA, maxB = blocked_scan_summaries_int(s_int, scored)
+            # f32 composition orders the top-C gather only (host re-does
+            # the composition exactly in int64, carry included)
+            block_max, block_last = compose_summaries_f32(tA, tB, maxA, maxB)
+            block_max = jnp.concatenate(
+                [jnp.maximum(block_max[:1], x_in_f + maxA[:1].astype(
+                    jnp.float32)), block_max[1:]])
             linked = jnp.concatenate(
-                [jnp.zeros((1,), bool), block_last[:-1] > 0])
+                [(x_in_f > 0).reshape(1), block_last[:-1] > 0])
             fwd, _ = jax.lax.associative_scan(
                 _seg_max_combine, (block_max, (~linked).astype(jnp.float32)))
             linked_next = jnp.concatenate([linked[1:], jnp.zeros((1,), bool)])
@@ -117,35 +208,32 @@ class StreamingSpanPipeline:
                 _seg_max_combine,
                 (jnp.flip(block_max),
                  jnp.flip((~linked_next).astype(jnp.float32))))
-            run_max = jnp.maximum(fwd, jnp.flip(bwd))
-            top_need, top_idx = jax.lax.top_k(run_max, min(self.cand, nb))
+            need = jnp.maximum(fwd, jnp.flip(bwd))
+            _, top_idx = jax.lax.top_k(need, C)
             top_idx = jnp.sort(top_idx)
-            # compose the outgoing carry: in ∘ chunk transform
-            cA_out = cA_in + tA
-            cB_out = jnp.maximum(cB_in + tA, tB)
-            m = self.margin
-            return {
-                "block_last": block_last,
-                "run_max": run_max,
-                "top_idx": top_idx,
-                "pm": pm[top_idx],
-                "scored": scored[top_idx],
-                "pm_head": pm[:m],
-                "scored_head": scored[:m],
-                "pm_tail": pm[-m:],
-                "scored_tail": scored[-m:],
-                "cA": cA_out,
-                "cB": cB_out,
-                "tail_b": nbases[-h:] if h else jnp.zeros((0,), nbases.dtype),
-            }
+
+            summary = jnp.concatenate([
+                tA.astype(jnp.int32), tB.astype(jnp.int32),
+                maxA.astype(jnp.int32), maxB.astype(jnp.int32),
+                top_idx.astype(jnp.int32),
+            ])
+            payload = jnp.concatenate([
+                pack_codes(codes[top_idx]),
+                pack_bits(scored[top_idx]),
+                pack_codes(codes[:m]),
+                pack_bits(scored[:m]),
+                pack_codes(codes[nb - m:]),
+                pack_bits(scored[nb - m:]),
+            ])
+            return summary, payload
 
         self._count = count_chunk
-        self._rank = rank
         self._scan = scan_chunk
         self._size = size
         self._nb = nb
-        self._jnp = jnp
+        self._C = C
 
+    # -------------------------------------------------------------- count
     def run(self, chunk_iter_factory, thr, min_width, min_score,
             seq_id: int = 0, checkpoint_path: str | None = None,
             resume: bool = False, metrics=None,
@@ -163,14 +251,6 @@ class StreamingSpanPipeline:
         §5.3: chunk-granularity elastic recovery).
         metrics: optional utils.metrics.Metrics recorder.
         """
-        import jax
-        import jax.numpy as jnp
-
-        from ..spans.extract import extract_spans
-
-        k, block, nb = self.k, self.block, self._nb
-        h = k - 1
-
         import contextlib
 
         def _phase(name, bases=0, **kw):
@@ -181,12 +261,12 @@ class StreamingSpanPipeline:
         with _phase("count"):
             acc = self.accumulate_counts(chunk_iter_factory)
         with _phase("rank"):
-            mass, total_i = self.finish_rank(acc)
+            mass, total = self.finish_rank(acc)
         return self.scan_stream(
-            chunk_iter_factory, mass, total_i, thr, min_width, min_score,
+            chunk_iter_factory, mass, total, thr, min_width, min_score,
             seq_id=seq_id, checkpoint_path=checkpoint_path, resume=resume,
             metrics=metrics, stop_after_chunk=stop_after_chunk,
-            counts_device=acc,
+            counts_host=self._counts_host,
         )
 
     def accumulate_counts(self, chunk_iter_factory, acc=None):
@@ -197,61 +277,118 @@ class StreamingSpanPipeline:
 
         h = self.k - 1
         if acc is None:
-            acc = jnp.zeros(self._size, jnp.int32)
+            acc = (jnp.zeros(self._size, jnp.int32),
+                   jnp.zeros(self._size, jnp.int32))
         prev_tail = np.full(h, 4, np.uint8)  # N: stream start has no halo
         for arr in chunk_iter_factory():
             arr = self._pad(arr)
             acc = self._count(
-                jnp.asarray(arr), acc,
+                jnp.asarray(arr), acc[0], acc[1],
                 jnp.asarray(prev_tail & 3), jnp.asarray(prev_tail < 4),
             )
             if h:
                 prev_tail = arr[-h:]
         return acc
 
-    def finish_rank(self, acc, host_threshold: int = 1 << 26):
-        """Rank mass from the accumulated spectrum.
+    def finish_rank(self, acc):
+        """Exact int64 rank mass from the accumulated device spectrum.
 
-        For spectra up to ``host_threshold`` entries the exact integer mass
-        is computed on the HOST (pull counts, numpy stable argsort, push) —
-        XLA's sort compiles pathologically slowly on some TPU toolchains
-        regardless of size, and a 4^12 table is a 67 MB round trip at most.
-        Larger spectra use the on-device sort.
+        Pulls the (hi, lo) int32 pair spectrum ONCE per genome and
+        computes the exact integer cumulative mass on the host — the
+        analog of the reference's f64 rank chain (src/kmer_spans.c:
+        198-200), exact at any genome size (no 2^31 ceiling).
+        Returns (mass int64 np [4^k], total int).
         """
+        from ..stats.ranks import cumulative_mass
+
+        hi, lo = acc
+        counts = (np.asarray(hi).astype(np.int64) << 16) + np.asarray(
+            lo).astype(np.int64)
+        self._counts_host = counts
+        mass = cumulative_mass(counts)
+        return mass, int(counts.sum())
+
+    # --------------------------------------------------------------- scan
+    def _screen_table(self, mass: np.ndarray, total: int):
         import jax.numpy as jnp
 
-        if self._size <= host_threshold:
-            from ..stats.ranks import cumulative_mass
+        if self._use_class:
+            return jnp.asarray(host_class_words(mass, total))
+        return jnp.asarray(host_fine_table(mass, total))
 
-            counts = np.asarray(acc)
-            mass = cumulative_mass(counts)
-            if mass.max(initial=0) > np.iinfo(np.int32).max:
-                raise OverflowError(
-                    "rank mass exceeds int32; use the sharded int64 path")
-            return jnp.asarray(mass.astype(np.int32)), int(counts.sum())
-        mass, total = self._rank(acc)
-        return mass, int(total)
+    def _unpack_summary(self, vec):
+        v = np.asarray(vec)
+        nb, C = self._nb, self._C
+        tA, tB, maxA, maxB = (v[i * nb:(i + 1) * nb] for i in range(4))
+        top_idx = v[4 * nb:4 * nb + C]
+        return tA, tB, maxA, maxB, top_idx
 
-    def scan_stream(self, chunk_iter_factory, mass, total_i, thr,
+    def _unpack_payload(self, vec, mass, total, thr):
+        """Decode packed codes/bits; return s/scored for candidates + margins."""
+        v = np.asarray(vec)
+        block, C, m = self.block, self._C, self.margin
+        k = self.k
+        cw = block // 2 if k <= 8 else block
+        off = 0
+
+        def codes_of(rows):
+            nonlocal off
+            w = v[off:off + rows * cw].copy().view(np.uint32)
+            off += rows * cw
+            if k <= 8:
+                return np.stack([w & 0xFFFF, w >> 16], axis=-1).astype(
+                    np.int64).reshape(rows, block)
+            return w.astype(np.int64).reshape(rows, block)
+
+        def bits_of(rows):
+            nonlocal off
+            w = v[off:off + rows * (block // 32)].copy().view(np.uint32)
+            off += rows * (block // 32)
+            return ((w[:, None] >> np.arange(32, dtype=np.uint32)) & 1
+                    ).astype(bool).reshape(rows, block)
+
+        def s_of(codes, sc):
+            pm = mass[codes].astype(np.float64)
+            return np.where(sc, pm / total - thr, 0.0)
+
+        c_cand = codes_of(C)
+        sc_cand = bits_of(C)
+        c_head = codes_of(m)
+        sc_head = bits_of(m)
+        c_tail = codes_of(m)
+        sc_tail = bits_of(m)
+        assert off == v.shape[0], (off, v.shape)
+        return {
+            "s_cand": s_of(c_cand, sc_cand), "sc_cand": sc_cand,
+            "s_head": s_of(c_head, sc_head).reshape(-1),
+            "sc_head": sc_head.reshape(-1),
+            "s_tail": s_of(c_tail, sc_tail).reshape(-1),
+            "sc_tail": sc_tail.reshape(-1),
+        }
+
+    def scan_stream(self, chunk_iter_factory, mass, total, thr,
                     min_width, min_score, seq_id=0, checkpoint_path=None,
                     resume=False, metrics=None, stop_after_chunk=None,
-                    counts_device=None) -> StreamResult:
-        """Scan pass over one stream with a (possibly shared) rank table."""
+                    counts_host=None) -> StreamResult:
+        """Scan pass over one stream with a (possibly shared) rank table.
+
+        mass: int64 np array (finish_rank); total: int k-mer count.
+        """
         import time as _time
 
         import jax.numpy as jnp
 
         k, block, nb = self.k, self.block, self._nb
         h = k - 1
-        total32 = jnp.float32(total_i)
+        mass = np.asarray(mass, dtype=np.int64)
+        tab_dev = self._screen_table(mass, total)
+        thr32 = jnp.float32(thr)
 
         regions: list = []
         unresolved: list = []
-        cA = jnp.float32(0.0)
-        cB = jnp.float32(-np.inf)
+        x_in = np.int64(0)  # exact composed screen bound entering the chunk
         halo_b = jnp.zeros((h,), jnp.uint8)
         halo_v = jnp.zeros((h,), bool)
-        thr32 = jnp.float32(thr)
 
         # host-side stitching state: open excursion s-values at boundary
         open_s: np.ndarray | None = None
@@ -264,8 +401,7 @@ class StreamingSpanPipeline:
 
             ck = StreamCheckpoint.load(checkpoint_path)
             start_chunk = ck.chunk_idx + 1
-            cA = jnp.float32(ck.cA)
-            cB = jnp.float32(ck.cB)
+            x_in = np.int64(ck.x_in)
             tail = np.frombuffer(ck.halo_bytes, dtype=np.uint8)
             if h:
                 halo_b = jnp.asarray(tail & 3)
@@ -288,18 +424,21 @@ class StreamingSpanPipeline:
             next_v = jnp.asarray(
                 False if is_last else chunks[ci + 1][0] != 4)
             t0 = _time.perf_counter()
-            out = self._scan(dev, mass, total32, thr32, cA, cB,
-                             halo_b, halo_v, next_v)
-            cA, cB = out["cA"], out["cB"]
-            halo_b = out["tail_b"] & 3
-            halo_v = (out["tail_b"] < 4)
-
-            res, open_next = self._finish_chunk(
-                out, base, thr, total_i, min_width, min_score, seq_id,
+            summary, payload = self._scan(
+                dev, tab_dev, thr32, jnp.float32(x_in), halo_b, halo_v,
+                next_v)
+            tA, tB, maxA, maxB, top_idx = self._unpack_summary(summary)
+            res, open_next, x_in = self._finish_chunk(
+                tA, tB, maxA, maxB, top_idx, payload, x_in,
+                base, thr, mass, total, min_width, min_score, seq_id,
                 open_s, open_scored, open_start, unresolved, ci,
+                is_last=is_last,
             )
             regions.extend(res)
             open_s, open_scored, open_start = open_next
+            if h:
+                halo_b = jnp.asarray(arr[-h:] & 3)
+                halo_v = jnp.asarray(arr[-h:] < 4)
             base += arr.shape[0]
             if metrics is not None:
                 metrics.record(
@@ -309,26 +448,22 @@ class StreamingSpanPipeline:
             if checkpoint_path:
                 from ..io.checkpoint import StreamCheckpoint
 
-                tail_np = np.asarray(out["tail_b"]) if h else np.zeros(
-                    0, np.uint8)
                 StreamCheckpoint(
                     chunk_idx=ci,
-                    cA=float(np.asarray(cA)),
-                    cB=float(np.asarray(cB)),
-                    halo_bytes=(
-                        arr[-h:].tobytes() if h else b""
-                    ),
+                    x_in=int(x_in),
+                    halo_bytes=(arr[-h:].tobytes() if h else b""),
                     open_start=open_start,
                     open_s=open_s,
                     open_scored=open_scored,
                     regions=regions,
                 ).save(checkpoint_path)
 
-        # genome end: resolve any open excursion (terminal semantics were
-        # already applied inside the final chunk because next_v=False)
+        # genome end: terminal semantics were already applied inside the
+        # final chunk (next_v=False)
         return StreamResult(
-            regions=regions, n_kmers=total_i, unresolved=unresolved,
-            counts_device=counts_device,
+            regions=regions, n_kmers=total, unresolved=unresolved,
+            counts_host=counts_host if counts_host is not None
+            else getattr(self, "_counts_host", None),
         )
 
     def _pad(self, arr: np.ndarray) -> np.ndarray:
@@ -341,76 +476,103 @@ class StreamingSpanPipeline:
         out[:n] = arr
         return out
 
-    def _finish_chunk(self, out, base, thr, total, min_width, min_score,
+    def _finish_chunk(self, tA, tB, maxA, maxB, top_idx, payload, x_in,
+                      base, thr, mass, total, min_width, min_score,
                       seq_id, open_s, open_scored, open_start,
-                      unresolved, ci):
+                      unresolved, ci, is_last=False):
         """Extract this chunk's spans + stitch the boundary excursion.
 
-        Ownership protocol (prevents double emission):
+        All screening is EXACT: int64 composition of the integer block
+        summaries, carry included.  Ownership protocol (prevents double
+        emission):
           * the BOUNDARY replay owns the whole excursion that straddles the
             incoming chunk edge — all its regions on both sides — up to its
             exact end E;
           * the IN-CHUNK pass owns (E, next_open_start): candidate stretch
             positions outside that window are masked unscored;
           * the excursion open at the OUTGOING edge (start found from the
-            device block_last chain) is handed to the next chunk.
+            exact block_last chain) is handed to the next chunk.
         """
         from ..spans.extract import _first_nonpositive, extract_spans
+        from ..spans.pipeline import compose_summaries_exact
 
         block, nb, m = self.block, self._nb, self.margin
-        run_max = np.asarray(out["run_max"])
-        last = np.asarray(out["block_last"])
-        top_idx = np.asarray(out["top_idx"])
-        pm_c = np.asarray(out["pm"])
-        sc_c = np.asarray(out["scored"])
-        margin = 1e-3 * (1.0 + abs(min_score))
-        cand = run_max >= (min_score - margin)
+        pl = self._unpack_payload(payload, mass, total, thr)
+
+        block_max, block_last = compose_summaries_exact(
+            tA, tB, maxA, maxB, x0=int(x_in))
+        # exact run-aware candidacy (see spans/pipeline.finish_spans)
+        linked = np.zeros(nb, bool)
+        linked[0] = x_in > 0
+        linked[1:] = block_last[:-1] > 0
+        seg_start = ~linked
+        seg_start[0] = True
+        starts = np.nonzero(seg_start)[0]
+        run_of = np.cumsum(seg_start) - 1
+        run_max = np.maximum.reduceat(block_max, starts)[run_of]
+        cand = run_max >= float(min_score) * SCREEN_SCALE
         have = np.zeros(nb, bool)
         have[top_idx] = True
         pos_in_pull = {int(b): i for i, b in enumerate(top_idx)}
-
-        def s_of(pm_rows, sc_rows):
-            pmf = np.asarray(pm_rows).reshape(-1).astype(np.float64)
-            scf = np.asarray(sc_rows).reshape(-1)
-            return np.where(scf, pmf / total - thr, 0.0), scf
+        s_cand = pl["s_cand"]
+        sc_cand = pl["sc_cand"]
 
         regions = []
 
         # --- A. outgoing open excursion (start located via block_last) ---
+        # The screen's identity-at-unscored semantics make block_last an
+        # over-approximation (it can stay positive across N gaps); the
+        # host resolves that here with the TRUE reset rule — an unscored
+        # position provably has true S = 0, as does any position whose
+        # no-reset upper-bound S is <= 0.  Never runs on the final chunk:
+        # there is no next chunk, and the in-chunk pass owns terminal
+        # emissions (reference sequence-end semantics, src/kmer_spans.c:
+        # 298-305, live in extract_spans).
         open_next = (None, None, 0)
         clip_from_global = None  # in-chunk pass must not extract past this
-        if last[-1] > 0:
-            nonpos = np.nonzero(last <= 0)[0]
+        x_out = np.int64(block_last[-1]) if block_last[-1] > 0 else np.int64(0)
+        if block_last[-1] > 0 and not is_last:
+            nonpos = np.nonzero(block_last <= 0)[0]
             b0 = (int(nonpos[-1]) + 1) if nonpos.size else 0
             if b0 < nb - m:
                 unresolved.append((ci, "open excursion exceeds tail margin"))
             else:
-                tail_s, tail_sc = s_of(out["pm_tail"], out["scored_tail"])
+                tail_s = pl["s_tail"]
+                tail_sc = pl["sc_tail"]
                 rel0 = (b0 - (nb - m)) * block  # chain start within margin
-                # screen from the chain start (true S there is 0)
+                # upper-bound S from the chain start (true S there is 0)
                 seg = tail_s[rel0:]
                 P = np.cumsum(seg)
                 Mn = np.minimum.accumulate(np.minimum(P, 0.0))
                 S = P - Mn
-                zero = np.nonzero(S <= 0)[0]
+                closed = (S <= 0) | ~tail_sc[rel0:]
+                zero = np.nonzero(closed)[0]
                 start_rel = rel0 + (int(zero[-1]) + 1 if zero.size else 0)
                 if start_rel >= tail_s.shape[0]:
-                    # S>0 at the edge but no s>0 start inside? clamp
-                    start_rel = tail_s.shape[0] - 1
-                open_next = (
-                    tail_s[start_rel:],
-                    tail_sc[start_rel:],
-                    base + (nb - m) * block + start_rel,
-                )
-                clip_from_global = open_next[2]
+                    # everything up to the edge is provably closed: the
+                    # chunk ends with true S = 0 — nothing to hand off
+                    pass
+                else:
+                    open_next = (
+                        tail_s[start_rel:],
+                        tail_sc[start_rel:],
+                        base + (nb - m) * block + start_rel,
+                    )
+                    clip_from_global = open_next[2]
 
         # --- B. incoming boundary excursion: owned here entirely ----------
         boundary_done_global = base - 1  # in-chunk pass starts after this
         if open_s is not None:
-            head_s, head_sc = s_of(out["pm_head"], out["scored_head"])
-            joined_s = np.concatenate([open_s, head_s])
-            joined_sc = np.concatenate([open_scored, head_sc])
-            vals, z = _first_nonpositive(joined_s, 0)
+            joined_s = np.concatenate([open_s, pl["s_head"]])
+            joined_sc = np.concatenate([open_scored, pl["sc_head"]])
+            # an unscored position is a true reset: it closes the boundary
+            # excursion just like an S <= 0 crossing
+            unsc = np.nonzero(~joined_sc)[0]
+            limit = int(unsc[0]) if unsc.size else None
+            vals, z = _first_nonpositive(
+                joined_s if limit is None else joined_s[:limit + 1], 0)
+            if z is None and limit is not None:
+                z = limit
             if z is None:
                 unresolved.append(
                     (ci, "boundary excursion exceeds head margin"))
@@ -439,13 +601,14 @@ class StreamingSpanPipeline:
                     while j + 1 < nb and cand[j + 1]:
                         j += 1
                     rows = [pos_in_pull[b] for b in range(i, j + 1)]
-                    s_flat, sc_flat = s_of(pm_c[rows], sc_c[rows])
+                    s_flat = s_cand[rows].reshape(-1)
+                    sc_flat = sc_cand[rows].reshape(-1)
                     bp = base + i * block  # global pos of s_flat[0]
                     gpos = bp + np.arange(s_flat.shape[0])
-                    mask = gpos <= boundary_done_global
+                    msk = gpos <= boundary_done_global
                     if clip_from_global is not None:
-                        mask |= gpos >= clip_from_global
-                    sc_flat = sc_flat & ~mask
+                        msk |= gpos >= clip_from_global
+                    sc_flat = sc_flat & ~msk
                     regs = extract_spans(s_flat, sc_flat, min_width,
                                          min_score, seq_id=seq_id)
                     regions.extend(
@@ -453,4 +616,4 @@ class StreamingSpanPipeline:
                         for sid, beg, end, sc in regs
                     )
                     i = j + 1
-        return regions, open_next
+        return regions, open_next, x_out

@@ -225,13 +225,13 @@ def host_rank_mass(counts: np.ndarray) -> np.ndarray:
     return excl
 
 
-def compose_summaries_exact(tA, tB, maxA, maxB):
+def compose_summaries_exact(tA, tB, maxA, maxB, x0: int = 0):
     """EXACT int64 cross-block composition of integer screen summaries.
 
     Composition of transforms f_j(x) = max(x + tA_j, tB_j) for blocks
     0..i is (CA_i, CB_i) with CA = cumsum(tA) and
-    CB_i = CA_i + max_{j<=i}(tB_j - CA_j); starting state 0 gives
-    block_last = max(CA, CB) and
+    CB_i = CA_i + max_{j<=i}(tB_j - CA_j); starting state x0 gives
+    block_last = max(x0 + CA, CB) and
     block_max_i = max(block_last_{i-1} + maxA_i, maxB_i).
 
     Returns (block_max, block_last) int64 in SCREEN_SCALE units — true
@@ -247,8 +247,8 @@ def compose_summaries_exact(tA, tB, maxA, maxB):
     )
     CA = np.cumsum(tA)
     CB = CA + np.maximum.accumulate(tB - CA)
-    block_last = np.maximum(CA, CB)
-    x_in = np.concatenate([[np.int64(0)], block_last[:-1]])
+    block_last = np.maximum(np.int64(x0) + CA, CB)
+    x_in = np.concatenate([[np.int64(x0)], block_last[:-1]])
     block_max = np.maximum(x_in + maxA, maxB)
     return block_max, block_last
 

@@ -44,7 +44,7 @@ def test_spectrum_sharded_roundtrip(tmp_path):
 
 def test_stream_checkpoint_roundtrip(tmp_path):
     ck = StreamCheckpoint(
-        chunk_idx=3, cA=1.5, cB=-2.0, halo_bytes=b"\x01\x02\x03",
+        chunk_idx=3, x_in=12, halo_bytes=b"\x01\x02\x03",
         open_start=12345, open_s=np.array([0.1, -0.2]),
         open_scored=np.array([True, False]),
         regions=[(0, 10, 20, 5.5)],
