@@ -323,8 +323,12 @@ class StreamingSpanPipeline:
         top_idx = v[4 * nb:4 * nb + C]
         return tA, tB, maxA, maxB, top_idx
 
-    def _unpack_payload(self, vec, mass, total, thr):
-        """Decode packed codes/bits; return s/scored for candidates + margins."""
+    def _unpack_payload(self, vec, ranks, thr):
+        """Decode packed codes/bits; return s/scored for candidates + margins.
+
+        ranks: the reference's f64 sequential rank chain
+        (spans.pipeline.host_rank_chain) — replayed scores are bit-identical
+        to the C reference (src/kmer_spans.c:198-200, :268)."""
         v = np.asarray(vec)
         block, C, m = self.block, self._C, self.margin
         k = self.k
@@ -348,8 +352,7 @@ class StreamingSpanPipeline:
                     ).astype(bool).reshape(rows, block)
 
         def s_of(codes, sc):
-            pm = mass[codes].astype(np.float64)
-            return np.where(sc, pm / total - thr, 0.0)
+            return np.where(sc, ranks[codes] - thr, 0.0)
 
         c_cand = codes_of(C)
         sc_cand = bits_of(C)
@@ -383,6 +386,16 @@ class StreamingSpanPipeline:
         mass = np.asarray(mass, dtype=np.int64)
         tab_dev = self._screen_table(mass, total)
         thr32 = jnp.float32(thr)
+        if counts_host is None:
+            counts_host = getattr(self, "_counts_host", None)
+        if counts_host is None:
+            raise ValueError(
+                "scan_stream needs the host spectrum for bit-identical "
+                "replay: run finish_rank first or pass counts_host"
+            )
+        from ..spans.pipeline import host_rank_chain
+
+        ranks = host_rank_chain(counts_host, total)
 
         regions: list = []
         unresolved: list = []
@@ -430,7 +443,7 @@ class StreamingSpanPipeline:
             tA, tB, maxA, maxB, top_idx = self._unpack_summary(summary)
             res, open_next, x_in = self._finish_chunk(
                 tA, tB, maxA, maxB, top_idx, payload, x_in,
-                base, thr, mass, total, min_width, min_score, seq_id,
+                base, thr, ranks, min_width, min_score, seq_id,
                 open_s, open_scored, open_start, unresolved, ci,
                 is_last=is_last,
             )
@@ -477,7 +490,7 @@ class StreamingSpanPipeline:
         return out
 
     def _finish_chunk(self, tA, tB, maxA, maxB, top_idx, payload, x_in,
-                      base, thr, mass, total, min_width, min_score,
+                      base, thr, ranks, min_width, min_score,
                       seq_id, open_s, open_scored, open_start,
                       unresolved, ci, is_last=False):
         """Extract this chunk's spans + stitch the boundary excursion.
@@ -497,7 +510,7 @@ class StreamingSpanPipeline:
         from ..spans.pipeline import compose_summaries_exact
 
         block, nb, m = self.block, self._nb, self.margin
-        pl = self._unpack_payload(payload, mass, total, thr)
+        pl = self._unpack_payload(payload, ranks, thr)
 
         block_max, block_last = compose_summaries_exact(
             tA, tB, maxA, maxB, x0=int(x_in))

@@ -178,7 +178,7 @@ def make_span_pipeline(
                 "maxA": maxA,
                 "maxB": maxB,
                 "top_idx": top_idx,
-                "pm": mass[codes[top_idx]],
+                "codes": codes[top_idx],
                 "scored": sc_cand,
             }
         C = sc_cand.shape[0]
@@ -223,6 +223,20 @@ def host_rank_mass(counts: np.ndarray) -> np.ndarray:
     excl = np.zeros(counts.shape[0], np.int64)
     excl[order] = np.concatenate([[0], np.cumsum(counts[order])[:-1]])
     return excl
+
+
+def host_rank_chain(counts: np.ndarray, total: int) -> np.ndarray:
+    """The reference's EXACT f64 sequential rank chain (bit-identity).
+
+    rank[sorted[m]] = fl(... fl(fl(t_0 + t_1) + t_2) ... ) with
+    t_j = counts[sorted[j]]/total — the same left-to-right f64 accumulation
+    as src/kmer_spans.c:198-200.  Candidate replay gathers from THIS table
+    so emitted span scores match the C reference bit for bit (mass/total
+    differs by ~1 ulp of accumulation and was round-2 weak #4).
+    """
+    from ..oracle.reference import weighted_ranks
+
+    return weighted_ranks(np.asarray(counts), float(total))
 
 
 def compose_summaries_exact(tA, tB, maxA, maxB, x0: int = 0):
@@ -288,7 +302,6 @@ def unpack_outputs(vec, k: int, n: int, block: int, cand_blocks: int):
     else:
         codes = take(C * block).copy().view(np.uint32).astype(
             np.int64).reshape(C, block)
-    pm = host_rank_mass(counts)[codes]
     assert off == v.shape[0], (off, v.shape)
     return {
         "counts": counts,
@@ -298,7 +311,7 @@ def unpack_outputs(vec, k: int, n: int, block: int, cand_blocks: int):
         "maxA": maxA,
         "maxB": maxB,
         "top_idx": top_idx,
-        "pm": pm,
+        "codes": codes,
         "scored": scored,
     }
 
@@ -330,7 +343,7 @@ def finish_spans(
         out["tA"], out["tB"], out["maxA"], out["maxB"]
     )
     top_idx = np.asarray(out["top_idx"])
-    total = float(np.asarray(out["total"]))
+    total = int(np.asarray(out["total"]))
     nb = block_max.shape[0]
 
     # exact candidacy, RUN-aware: blocks chain into a run while the screen
@@ -353,8 +366,10 @@ def finish_spans(
         return SpanPipelineResult(regions=[], fallback=True)
 
     pos_in_pull = {int(bidx): i for i, bidx in enumerate(top_idx)}
-    pm = np.asarray(out["pm"])
+    codes = np.asarray(out["codes"])
     scored = np.asarray(out["scored"])
+    # bit-identical replay scores: gather the reference's f64 rank CHAIN
+    ranks = host_rank_chain(out["counts"], total)
 
     # assemble maximal stretches of consecutive candidate blocks
     regions = []
@@ -368,9 +383,9 @@ def finish_spans(
             j += 1
         # stretch blocks [i, j]; assemble s and scored
         rows = [pos_in_pull[b] for b in range(i, j + 1)]
-        pm_flat = pm[rows].reshape(-1).astype(np.float64)
+        c_flat = codes[rows].reshape(-1)
         sc_flat = scored[rows].reshape(-1)
-        s_flat = np.where(sc_flat, pm_flat / total - thr, 0.0)
+        s_flat = np.where(sc_flat, ranks[c_flat] - thr, 0.0)
         base_pos = i * block  # 0-based position of first assembled entry
         regions.extend(
             _replay_stretch(

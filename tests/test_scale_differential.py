@@ -66,7 +66,7 @@ def test_fast_mode_matches_native(genome, expected):
     assert len(res.regions) == len(regions)
     for got, (b, e, s) in zip(res.regions, regions):
         assert (got["beg"], got["end"]) == (b, e)
-        assert got["score"] == pytest.approx(s, rel=1e-9)
+        assert got["score"] == s  # bit-identical f64 (rank-chain replay)
 
 
 def test_stream_matches_native(genome, expected):
@@ -84,4 +84,4 @@ def test_stream_matches_native(genome, expected):
     assert [(r[1], r[2]) for r in res.regions] == [
         (b, e) for b, e, _ in regions]
     for r, (_, _, s) in zip(res.regions, regions):
-        assert r[3] == pytest.approx(s, rel=1e-9)
+        assert r[3] == s  # bit-identical f64 (rank-chain replay)

@@ -35,11 +35,16 @@ def _run_pipeline(seq, k, thr, min_w, min_s, block=1024, cand=32):
     return finish_spans(out, npad, thr, min_w, min_s, block=block)
 
 
-def _mass_rank_regions(seq, k, thr, min_w, min_s):
-    """Oracle regions but with mass/total ranks (the fast path's tables)."""
+def _chain_rank_regions(seq, k, thr, min_w, min_s):
+    """True oracle: the reference's sequential f64 rank chain (SURVEY A.2).
+
+    The device pipeline's finisher replays candidates through this exact
+    chain (spans.pipeline.host_rank_chain), so scores must be == here,
+    not approx (round-2 weak #4: a mass/total oracle hid 1e-9 drift)."""
+    from kmer_spans_tpu.oracle import weighted_ranks
+
     counts, n = count_spectrum(seq, k)
-    mass = cumulative_mass(counts)
-    ranks = mass.astype(np.float64) / float(n)
+    ranks = weighted_ranks(counts, float(n))
     return find_regions(seq, 0, min_w, min_s, ranks, k, thr)
 
 
@@ -55,10 +60,10 @@ def test_sparse_pipeline_matches_oracle(seed):
     k, thr, min_w, min_s = 4, 0.75, 30, 5.0
     res = _run_pipeline(seq, k, thr, min_w, min_s)
     assert not res.fallback
-    expect = _mass_rank_regions(seq, k, thr, min_w, min_s)
+    expect = _chain_rank_regions(seq, k, thr, min_w, min_s)
     assert [(r[1], r[2]) for r in res.regions] == [(e[1], e[2]) for e in expect]
     for r, e in zip(res.regions, expect):
-        assert r[3] == pytest.approx(e[3], rel=1e-9)
+        assert r[3] == e[3]  # bit-identical f64
 
 
 def test_sparse_pipeline_no_candidates():
@@ -83,7 +88,7 @@ def test_sparse_pipeline_island_across_blocks():
     seq = "".join(s)
     res = _run_pipeline(seq, 4, 0.75, 50, 5.0)
     assert not res.fallback
-    expect = _mass_rank_regions(seq, 4, 0.75, 50, 5.0)
+    expect = _chain_rank_regions(seq, 4, 0.75, 50, 5.0)
     assert [(r[1], r[2]) for r in res.regions] == [(e[1], e[2]) for e in expect]
     assert len(res.regions) >= 1
 
