@@ -52,7 +52,13 @@ def make_sharded_rank_step_wide(mesh, k: int, axis: str = "data",
     """Sharded rank mass as exact (hi, lo) int32 pairs (no 2^31 ceiling).
 
     shard_counts i32 [4^k] (sharded over ``axis``) ->
-    (mass_hi, mass_lo i32 [4^k] sharded, clip_overflow bool).
+    (mass_hi, mass_lo i32 [4^k] sharded, clip_overflow bool,
+     vhist_hi, vhist_lo i32 [vmax] replicated).
+
+    The replicated value histogram (mass per count value) is what lets the
+    host finisher rebuild the reference's EXACT f64 rank chain for
+    candidate positions without the 4^k table
+    (stats.ranks.chain_ranks_from_mass).
 
     Same decomposition as parallel/sharded.py make_sharded_rank_step —
     mass[i] = global mass below value + equal-value mass in lower shards
@@ -127,12 +133,12 @@ def make_sharded_rank_step_wide(mesh, k: int, axis: str = "data",
         mass_hi = below_hi[clipped] + e_hi[clipped] + within_hi
         mass_lo = below_lo[clipped] + e_lo[clipped] + within_lo
         mass_hi, mass_lo = renorm(mass_hi, mass_lo)
-        return mass_hi, mass_lo, clip_overflow
+        return mass_hi, mass_lo, clip_overflow, gh_hi, gh_lo
 
     sharded = jax.shard_map(
         body, mesh=mesh,
         in_specs=(P(axis),),
-        out_specs=(P(axis), P(axis), P()),
+        out_specs=(P(axis), P(axis), P(), P(), P()),
         check_vma=False,
     )
     return jax.jit(sharded)
@@ -312,7 +318,7 @@ class ShardedScanResult:
 
 def finish_sharded_spans(
     out, n: int, total: int, thr: float, min_width: int, min_score: float,
-    block: int, seq_id: int = 0,
+    block: int, seq_id: int = 0, value_hist=None,
 ) -> ShardedScanResult:
     """Exact host finisher over the sharded scan step's outputs.
 
@@ -320,6 +326,13 @@ def finish_sharded_spans(
     the integer summaries (sound upper bound), run-aware candidacy, f64
     replay — but per-position mass comes from the pulled (hi, lo) pairs
     (exact to 2^47), so the host never materializes the 4^k table.
+
+    value_hist: int64 mass-per-count-value histogram (the wide rank step's
+    replicated vhist output).  When given, candidate scores replay the
+    reference's EXACT f64 rank chain via chain_ranks_from_mass — emitted
+    scores are bit-identical to src/kmer_spans.c:198-200 with memory
+    O(#distinct count values), never O(4^k).  Without it, scores fall
+    back to mass/total (positions exact, scores ~1e-9).
     """
     from ..spans.extract import extract_spans
     from ..spans.pipeline import compose_summaries_exact
@@ -347,6 +360,17 @@ def finish_sharded_spans(
     pm = (np.asarray(pm_hi).astype(np.int64) << 16) + np.asarray(
         pm_lo).astype(np.int64)
     sc = np.asarray(scored)
+
+    def ranks_of(pm_flat, sc_flat):
+        if value_hist is None:
+            return pm_flat.astype(np.float64) / total
+        from ..stats.ranks import chain_ranks_from_mass
+
+        # only scored positions carry real mass values; mask the rest to 0
+        # (a valid mass) before the exact-chain lookup
+        return chain_ranks_from_mass(
+            np.where(sc_flat, pm_flat, 0), value_hist, total)
+
     regions = []
     i = 0
     while i < nb:
@@ -357,9 +381,9 @@ def finish_sharded_spans(
         while j + 1 < nb and cand[j + 1]:
             j += 1
         rows = [pos_in_pull[b] for b in range(i, j + 1)]
+        sc_flat = sc[rows].reshape(-1)
         s_flat = np.where(
-            sc[rows].reshape(-1),
-            pm[rows].reshape(-1).astype(np.float64) / total - thr, 0.0)
+            sc_flat, ranks_of(pm[rows].reshape(-1), sc_flat) - thr, 0.0)
         regs = extract_spans(
             s_flat, sc[rows].reshape(-1), min_width, min_score,
             seq_id=seq_id)
@@ -409,11 +433,18 @@ def sharded_low_comp_regions(
         bucket_cap=bucket_cap)
     with mesh:
         sh_counts, c_overflow = cstep(bases, valid)
-        mass_hi, mass_lo, clip = rstep(sh_counts)
+        mass_hi, mass_lo, clip, vh_hi, vh_lo = rstep(sh_counts)
         out = sstep(bases, valid, mass_hi, mass_lo,
                     jnp.float32(total), jnp.float32(thr))
+    # a clipped value histogram cannot rebuild the exact chain (the result
+    # is flagged overflow below; caller retries with a larger vmax)
+    value_hist = None
+    if not bool(np.asarray(clip)):
+        value_hist = (np.asarray(vh_hi).astype(np.int64) << 16) + \
+            np.asarray(vh_lo).astype(np.int64)
     res = finish_sharded_spans(
-        out, n, total, thr, min_width, min_score, block)
+        out, n, total, thr, min_width, min_score, block,
+        value_hist=value_hist)
     if bool(np.asarray(c_overflow)) or bool(np.asarray(clip)):
         res.overflow = True
     return res

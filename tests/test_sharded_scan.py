@@ -74,10 +74,14 @@ def test_sharded_rank_wide_matches_host_past_int32():
             jax.sharding.NamedSharding(
                 mesh, jax.sharding.PartitionSpec("data")),
         )
-        hi, lo, clip = step(sh)
+        hi, lo, clip, vh_hi, vh_lo = step(sh)
     assert not bool(np.asarray(clip))
     got = np.asarray(hi).astype(np.int64) * 65536 + np.asarray(lo)
     np.testing.assert_array_equal(got, expect)
+    vh = np.asarray(vh_hi).astype(np.int64) * 65536 + np.asarray(vh_lo)
+    ref_vh = np.bincount(counts, weights=counts.astype(np.float64),
+                         minlength=1 << 14).astype(np.int64)
+    np.testing.assert_array_equal(vh, ref_vh)
 
 
 def test_sharded_rank_wide_clip_flagged():
@@ -87,7 +91,7 @@ def test_sharded_rank_wide_clip_flagged():
     counts[3] = 1 << 20  # >= vmax
     step = make_sharded_rank_step_wide(mesh, k, vmax=1 << 14)
     with mesh:
-        hi, lo, clip = step(jnp.asarray(counts))
+        hi, lo, clip, _, _ = step(jnp.asarray(counts))
     assert bool(np.asarray(clip))
 
 
@@ -100,7 +104,7 @@ def test_sharded_rank_wide_matches_real_spectrum(golden):
     expect = host_rank_mass(counts)
     step = make_sharded_rank_step_wide(mesh, k)
     with mesh:
-        hi, lo, clip = step(jnp.asarray(counts.astype(np.int32)))
+        hi, lo, clip, vh_hi, vh_lo = step(jnp.asarray(counts.astype(np.int32)))
     got = np.asarray(hi).astype(np.int64) * 65536 + np.asarray(lo)
     assert not bool(np.asarray(clip))
     np.testing.assert_array_equal(got, expect)
@@ -134,11 +138,10 @@ def test_sharded_scan_golden_bitexact(golden):
     expect = _oracle_regions(nb, k, 100, 20.0, 0.75)
     assert [(b, e) for _, b, e, _ in res.regions] == [
         (b, e) for b, e, _ in expect]
-    # device paths emit integer-mass/total ranks: positions exact, scores
-    # within 1e-9 of the reference chain (same convention as the fast and
-    # streaming modes, tests/test_scale_differential.py)
+    # scores replay the reference's exact f64 rank chain rebuilt from the
+    # value histogram (chain_ranks_from_mass) — bit-identical, no 4^k pull
     for (_, _, _, sc), (_, _, ws) in zip(res.regions, expect):
-        assert sc == pytest.approx(ws, rel=1e-9)
+        assert sc == ws
 
 
 def test_sharded_scan_random_with_gaps(rng):
@@ -158,7 +161,7 @@ def test_sharded_scan_random_with_gaps(rng):
     assert [(b, e) for _, b, e, _ in res.regions] == [
         (b, e) for b, e, _ in expect]
     for (_, _, _, sc), (_, _, ws) in zip(res.regions, expect):
-        assert sc == pytest.approx(ws, rel=1e-9)
+        assert sc == ws  # bit-identical f64
 
 
 def test_sharded_scan_fallback_flagged(rng):
@@ -181,3 +184,37 @@ def test_sharded_scan_fallback_flagged(rng):
             (b, e) for b, e, _ in expect]
     else:
         assert res.fallback
+
+
+# ------------------------------------- exact chain from value histogram
+
+
+@pytest.mark.parametrize("seed,lam", [(0, 3.0), (1, 0.3), (2, 40.0)])
+def test_chain_ranks_from_mass_bitexact(seed, lam):
+    """chain_ranks_from_mass == oracle.weighted_ranks for every k-mer,
+    including heavy count ties and the chunked streaming path."""
+    from kmer_spans_tpu.stats.ranks import (
+        chain_ranks_from_mass,
+        cumulative_mass,
+    )
+
+    rng = np.random.default_rng(seed)
+    counts = rng.poisson(lam, 4096).astype(np.int64)
+    total = int(counts.sum())
+    mass = cumulative_mass(counts)
+    vh = np.bincount(
+        counts, weights=counts.astype(np.float64)).astype(np.int64)
+    ref = weighted_ranks(counts, float(total))
+    got = chain_ranks_from_mass(mass, vh, total)
+    np.testing.assert_array_equal(got, ref)
+    got_chunked = chain_ranks_from_mass(mass, vh, total, chunk=101)
+    np.testing.assert_array_equal(got_chunked, ref)
+
+
+def test_chain_ranks_rejects_bad_mass():
+    from kmer_spans_tpu.stats.ranks import chain_ranks_from_mass
+
+    vh = np.zeros(8, np.int64)
+    vh[3] = 12  # four codes with count 3
+    with pytest.raises(ValueError):
+        chain_ranks_from_mass(np.array([4]), vh, 12)  # 4 not a multiple of 3
