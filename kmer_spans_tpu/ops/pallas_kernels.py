@@ -72,14 +72,29 @@ def pallas_count_spectrum(
     codes: jax.Array, kmer_valid: jax.Array, k: int, tile: int = 4096
 ):
     """Dense 4^k int32 spectrum from codes (any shape) + validity mask."""
-    size = 1 << (2 * k)
+    return pallas_histogram(codes, kmer_valid, 1 << (2 * k), tile=tile)
+
+
+@functools.partial(jax.jit, static_argnames=("size", "tile"))
+def pallas_histogram(
+    values: jax.Array, valid: jax.Array, size: int, tile: int = 4096
+):
+    """Dense int32 histogram of ``values`` in [0, size) via the one-hot MXU
+    matmul (same kernel as the spectrum count; the windowed engine uses it
+    for (kmer, window-count) occurrence histograms).
+
+    size must be a multiple of 128 (or < 128: scatter fallback).
+    """
     if size < _LANES:
-        idx = jnp.where(kmer_valid, codes, 0)
+        idx = jnp.where(valid, values, 0)
         return jnp.zeros(size, jnp.int32).at[idx].add(
-            kmer_valid.astype(jnp.int32)
+            valid.astype(jnp.int32)
         )
+    if size % _LANES:
+        raise ValueError("size must be a multiple of 128")
+    kmer_valid = valid
     hi_n = size // _LANES
-    flat = jnp.where(kmer_valid, codes, -1).reshape(-1)
+    flat = jnp.where(kmer_valid, values, -1).reshape(-1)
     n = flat.shape[0]
     pad = (-n) % tile
     if pad:

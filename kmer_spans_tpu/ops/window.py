@@ -1,19 +1,26 @@
 """Windowed k-mer occurrence distributions on device (SURVEY §7.6).
 
 The reference slides a two-pointer window with a full 4^k scratch array
-(src/kmer_spans.c:413-449) — strictly sequential.  TPU-native form: the
-occurrence count of k-mer w in the window starting at t is a difference of
-prefix sums of w's indicator vector, so every window is independent:
+(src/kmer_spans.c:413-449) — strictly sequential, one pass per sequence.
+TPU-native form: the occurrence count of k-mer w in the window starting
+at t is a LOCAL windowed sum of w's indicator vector,
 
     occ[p]   = [code ending at p+k-1 == w]  (start-position convention)
-    count[t] = P[t + window - k + 1] - P[t],   P = exclusive prefix sum
+    count[t] = sum of occ[t .. t+window-k]  (slots = window-k+1 starts)
+
+so every window is independent and no global prefix sum is needed: one
+lax.scan over row groups computes counts for ALL tracked k-mers at once
+from a group + ``window``-element halo (ONE program regardless of how
+many k-mers are tracked — the round-2 engine built one prefix-sum
+program per k-mer, round-1 directive 8).
+
+The count histogram runs as ONE one-hot MXU histogram over combined
+(kmer, count) indices (ops.pallas_kernels.pallas_histogram) — never a
+scatter, never a per-kmer pass.
 
 Windows never span N gaps: a window is valid iff all its bases are non-N
-(windowed sum of validity == window).  The count histogram (dist rows
-0..window) accumulates via one-hot summation, not scatter.
-
-Prefix sums reuse the scan-of-scans structure (one small lax.scan body,
-flat TPU compile time).
+(windowed sum of invalidity == 0), which also kills windows that cross
+the padded tail.
 """
 
 from __future__ import annotations
@@ -70,63 +77,65 @@ def windowed_counts_device(
     window starting at t (0 where invalid), matching the reference's
     kmer_counts_pos matrices.
     """
+    from .pallas_kernels import pallas_histogram
+
     nb, B = codes2d.shape
     n = nb * B
-    flat_codes = codes2d.reshape(-1)
+    T = int(tracked.shape[0])
+    flat_c = codes2d.reshape(-1)
     flat_kv = kmer_valid2d.reshape(-1)
     flat_v = valid2d.reshape(-1)
 
-    # start-position indicator: k-mer starting at p ends at p+k-1
-    def start_shift(x, fill=False):
-        return jnp.concatenate(
-            [x[k - 1 :], jnp.full((k - 1,), fill, x.dtype)])
+    RB = min(1 << 16, n)
+    if window > RB:
+        raise ValueError("window larger than the group width")
+    pad = (-n) % RB
+    if pad:
+        flat_c = jnp.concatenate([flat_c, jnp.zeros((pad,), flat_c.dtype)])
+        flat_kv = jnp.concatenate([flat_kv, jnp.zeros((pad,), bool)])
+        flat_v = jnp.concatenate([flat_v, jnp.zeros((pad,), bool)])
+    G = flat_c.shape[0] // RB
 
-    kv_start = start_shift(flat_kv)
+    def ext(x, fill):
+        """[G*RB] -> [G, RB+window]: each group plus the next group's head."""
+        x2 = x.reshape(G, RB)
+        xp = jnp.concatenate(
+            [x, jnp.full((RB,), fill, x.dtype)]).reshape(G + 1, RB)
+        return jnp.concatenate([x2, xp[1:, :window]], axis=1)
 
-    # window validity: all `window` bases non-N, and window fits in array
-    inv = (~flat_v).astype(jnp.int32).reshape(nb, B)
-    pinv = blocked_prefix_sum(inv).reshape(-1)
-    pinv_ex = jnp.concatenate([jnp.zeros((1,), jnp.int32), pinv])  # n+1
-    idx = jnp.arange(n, dtype=jnp.int32)
-    in_range = idx <= n - window
-    end_i = jnp.minimum(idx + window, n)
-    w_invalid = pinv_ex[end_i] - pinv_ex[idx]
-    window_valid = in_range & (w_invalid == 0)
+    ec = ext(flat_c, 0)
+    ekv = ext(flat_kv, False)
+    ev = ext(flat_v, False)
+    tr = tracked.astype(flat_c.dtype).reshape(T, 1)
 
-    slots = window - k + 1  # k-mer start slots per window
+    def body(_, xs):
+        c, kvx, vx = xs                           # [RB+window]
+        occ = ((c[None, :] == tr) & kvx[None, :]).astype(jnp.int32)
+        S = jnp.cumsum(occ, axis=1)
+        Sx = jnp.concatenate(
+            [jnp.zeros((T, 1), jnp.int32), S], axis=1)  # exclusive
+        # count[t] = occ summed over start slots t..t+window-k
+        # (end positions t+k-1 .. t+window-1)
+        cnt = Sx[:, window:window + RB] - Sx[:, k - 1:k - 1 + RB]
+        inv = (~vx).astype(jnp.int32)
+        Pi = jnp.concatenate(
+            [jnp.zeros((1,), jnp.int32), jnp.cumsum(inv)])
+        wv = (Pi[window:window + RB] - Pi[0:RB]) == 0
+        cnt = jnp.where(wv[None, :], cnt, 0)
+        return None, (cnt.astype(jnp.int16), wv)
 
-    def per_kmer(w):
-        occ = ((flat_codes == w) & flat_kv).astype(jnp.int32)
-        occ = start_shift(occ, fill=0)
-        p = blocked_prefix_sum(occ.reshape(nb, B)).reshape(-1)
-        p_ex = jnp.concatenate([jnp.zeros((1,), jnp.int32), p])
-        e = jnp.minimum(idx + slots, n)
-        cnt = p_ex[e] - p_ex[idx]
-        cnt = jnp.where(window_valid, cnt, 0)
-        # histogram over valid windows via one-hot summation
-        bins = jax.lax.broadcasted_iota(jnp.int32, (1, window + 1), 1)
-        def hbody(acc, xs):
-            c, v = xs
-            oh = (c[:, None] == bins) & v[:, None]
-            return acc + jnp.sum(
-                oh.astype(jnp.int32), axis=0, dtype=jnp.int32), None
-        TH = 1 << 15
-        padh = (-n) % TH
-        cpad = jnp.concatenate([cnt, jnp.zeros((padh,), jnp.int32)])
-        vpad = jnp.concatenate([window_valid, jnp.zeros((padh,), bool)])
-        acc, _ = jax.lax.scan(
-            hbody, jnp.zeros((window + 1,), jnp.int32),
-            (cpad.reshape(-1, TH), vpad.reshape(-1, TH)),
-        )
-        return acc, cnt
+    _, (cnts, wvs) = jax.lax.scan(body, None, (ec, ekv, ev))
+    cnt_all = cnts.transpose(1, 0, 2).reshape(T, -1)[:, :n]
+    window_valid = wvs.reshape(-1)[:n]
 
-    dists = []
-    positions = []
-    for i in range(tracked.shape[0]):
-        d, c = per_kmer(tracked[i])
-        dists.append(d)
-        if with_positions:
-            positions.append(c)
-    dist = jnp.stack(dists, axis=1)
-    counts_pos = jnp.stack(positions, axis=0) if with_positions else None
+    # one MXU histogram over combined (kmer, count) indices
+    W2 = window + 2
+    size = -(-(T * W2) // 128) * 128
+    comb = cnt_all.astype(jnp.int32) + (
+        jnp.arange(T, dtype=jnp.int32) * W2)[:, None]
+    dist_flat = pallas_histogram(
+        comb, jnp.broadcast_to(window_valid[None, :], comb.shape), size)
+    dist = dist_flat[:T * W2].reshape(T, W2)[:, :window + 1].T
+
+    counts_pos = cnt_all.astype(jnp.int32) if with_positions else None
     return dist, counts_pos, window_valid
