@@ -99,8 +99,14 @@ def device_tr_regions(p: PackedSeq, k: int, ks: np.ndarray, ts: np.ndarray,
                       cand_blocks: int = 128):
     """Transition-score regions for one sequence (spans/tr_pipeline).
 
-    Note: device score tables are f32; emitted scores match the f64 oracle
-    to ~1e-6 relative (use backend="host" for bit-exact scores).
+    Candidate blocks pull their CODES; the host replays them from the
+    original f64 tables, so emitted positions and scores are bit-identical
+    to the reference (src/kmer_spans.c:329-395).  The device's screening
+    tables are f32 rounded UP (toward +inf), so table quantization can
+    only extend positive runs — screening stays conservative; only
+    sub-2^-24-relative knife edges of the f32 scan itself could hide an
+    excursion (flagged nowhere in practice; use backend="host" to avoid
+    screening entirely).
     Returns (regions, fallback).
     """
     import jax.numpy as jnp
@@ -112,8 +118,15 @@ def device_tr_regions(p: PackedSeq, k: int, ks: np.ndarray, ts: np.ndarray,
     npad = -(-p.n // block) * block
     arr = np.full(npad, 4, np.uint8)
     arr[: p.n] = nb
+
+    def up32(t):
+        t32 = t.astype(np.float32)
+        low = t32.astype(np.float64) < t
+        t32[low] = np.nextafter(t32[low], np.float32(np.inf))
+        return t32
+
     fn = make_tr_pipeline(k, block=block, cand_blocks=cand_blocks)
-    out = fn(jnp.asarray(arr), jnp.asarray(ks.astype(np.float32)),
-             jnp.asarray(ts.astype(np.float32)))
-    res = finish_tr_spans(out, npad, min_length, block=block, seq_id=seq_id)
+    out = fn(jnp.asarray(arr), jnp.asarray(up32(ks)), jnp.asarray(up32(ts)))
+    res = finish_tr_spans(out, npad, min_length, ks, ts, block=block,
+                          seq_id=seq_id)
     return res.regions, res.fallback

@@ -97,8 +97,7 @@ def make_tr_pipeline(k: int, block: int = 8192, cand_blocks: int = 128):
             "block_last": block_last,
             "chain_maxrun": chain_maxrun,
             "top_idx": top_idx,
-            "ks": ks[top_idx],
-            "ts": ts[top_idx],
+            "codes": codes[top_idx],
             "seed": seed[top_idx],
             "ext": ext[top_idx],
         }
@@ -245,10 +244,18 @@ def finish_tr_spans(
     out: dict,
     n: int,
     min_len: int,
+    ks_table: np.ndarray,
+    ts_table: np.ndarray,
     block: int = 8192,
     seq_id: int = 1,
 ) -> TrPipelineResult:
-    """Host finisher: length-screened candidate chains -> exact replay."""
+    """Host finisher: length-screened candidate chains -> exact replay.
+
+    ks_table/ts_table: the ORIGINAL f64 score tables — candidates replay
+    from host f64 gathers of their pulled codes, so emitted scores are
+    bit-identical to the reference's f64 accumulation
+    (src/kmer_spans.c:348-366); the device's f32 tables only screen.
+    """
     chain_maxrun = np.asarray(out["chain_maxrun"])
     top_idx = np.asarray(out["top_idx"])
     nb = chain_maxrun.shape[0]
@@ -260,8 +267,9 @@ def finish_tr_spans(
     if (cand & ~have).any():
         return TrPipelineResult(regions=[], fallback=True)
     pos_in_pull = {int(b): i for i, b in enumerate(top_idx)}
-    ks_c = np.asarray(out["ks"], dtype=np.float64)
-    ts_c = np.asarray(out["ts"], dtype=np.float64)
+    codes_c = np.asarray(out["codes"])
+    ks_c = np.asarray(ks_table, dtype=np.float64)[codes_c]
+    ts_c = np.asarray(ts_table, dtype=np.float64)[codes_c]
     seed_c = np.asarray(out["seed"])
     ext_c = np.asarray(out["ext"])
 

@@ -34,7 +34,7 @@ def _run(seq, k, ks, ts, min_len, block=512, cand=32):
     fn = make_tr_pipeline(k, block=block, cand_blocks=cand)
     out = fn(jnp.asarray(arr), jnp.asarray(ks.astype(np.float32)),
              jnp.asarray(ts.astype(np.float32)))
-    return finish_tr_spans(out, npad, min_len, block=block, seq_id=1)
+    return finish_tr_spans(out, npad, min_len, ks, ts, block=block, seq_id=1)
 
 
 def test_tr_pipeline_cpg_vector():
@@ -68,9 +68,9 @@ def test_tr_pipeline_matches_oracle_random(seed):
     assert got == exp
     gs = {(r[1], r[2]): r[3] for r in res.regions}
     for e in expect:
-        # device tables are f32; replay works on the f32-rounded scores,
-        # bit-identical to an oracle fed the same f32-rounded tables
-        assert gs[(e[1], e[2])] == pytest.approx(e[3], rel=1e-6)
+        # candidates replay from the host f64 tables via pulled codes:
+        # emitted scores are bit-identical to the oracle
+        assert gs[(e[1], e[2])] == e[3]
 
 
 def test_replay_tr_matches_oracle_direct():
