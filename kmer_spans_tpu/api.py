@@ -188,26 +188,57 @@ def _call_regions(
     scan_counts = np.zeros(size, dtype=np.int64) if want_scan_counts else None
     all_regions = []
     if backend == "jax":
-        from .parallel.device import device_codes_scored
+        # sparse screen-then-replay: nothing O(n) crosses the device
+        # tunnel (spans.pipeline.make_weight_span_pipeline); a flagged
+        # candidate overflow falls back to the exact host oracle for
+        # that sequence only
+        import jax.numpy as jnp
 
+        from .parallel.device import bucket_size
+        from .spans.pipeline import (
+            finish_weight_spans,
+            make_weight_span_pipeline,
+            quantize_weight_table,
+        )
+
+        block = 4096
         for i, p in enumerate(packed):
             if p.n < k:
                 continue
-            codes, scored = device_codes_scored(p, k)
-            s = model.weights[codes] - model.threshold
-            visits = (
-                np.zeros(p.n + 1, dtype=np.int64) if want_scan_counts else None
+            npad = max(bucket_size(p.n), block)
+            nb_arr = np.full(npad, 4, np.uint8)
+            nb_arr[: p.n] = np.where(p.valid, p.bases, 4).astype(np.uint8)
+            w_q, scale = quantize_weight_table(
+                model.weights, model.threshold, block)
+            fn = make_weight_span_pipeline(
+                k, block=block,
+                cand_blocks=min(128, npad // block),
+                with_scan_counts=want_scan_counts,
             )
-            regs = extract_spans(
-                s, scored, min_width, min_score, seq_id=i, visits_full=visits
+            out = fn(jnp.asarray(nb_arr), jnp.asarray(w_q))
+            seq_scan = (
+                np.zeros(size, dtype=np.int64) if want_scan_counts else None
             )
-            all_regions.extend(regs)
+            res = finish_weight_spans(
+                out, npad, model.weights, model.threshold, min_width,
+                min_score, scale, block=block, seq_id=i,
+                scan_counts=seq_scan,
+            )
+            if res.fallback:
+                sc32 = np.zeros(size, np.int64) if want_scan_counts else None
+                regs = oracle.find_regions(
+                    p, i, min_width, min_score, model.weights, k,
+                    model.threshold, scan_counts=sc32,
+                )
+                all_regions.extend(regs)
+                if want_scan_counts:
+                    scan_counts += sc32
+                continue
+            all_regions.extend(res.regions)
             if want_scan_counts:
-                mult = np.cumsum(visits[:-1])
-                sel = mult > 0
-                scan_counts += np.bincount(
-                    codes[sel], weights=mult[sel], minlength=size
-                ).astype(np.int64)
+                scan_counts += seq_scan
+                scan_counts += np.asarray(
+                    out["scan_hist"]).astype(np.int64)
     elif backend == "native":
         from .utils import native
 

@@ -248,3 +248,20 @@ def test_native_backend_scan_counts(rng):
     n = api.kmer_regions(seqs, 2, w, 2, 0.5, backend="native")
     assert (h.regions == n.regions).all()
     assert (h.counts == n.counts).all()
+
+
+def test_kmer_regions_min_score_nonpositive_jax_matches_host():
+    """min_score <= 0 makes the score screen vacuous: candidacy falls to
+    the width gate (sparse pipeline, no O(n) pull).  jax must equal host
+    bit for bit, including scan counts."""
+    rng = np.random.default_rng(123)
+    seq = "".join(rng.choice(list("ACGT"), 30_000))
+    s = list(seq)
+    s[9000:9400] = "CG" * 200
+    seq = "".join(s)
+    scores = {a + b: (1.5 if a + b == "CG" else -0.4)
+              for a in "ACGT" for b in "ACGT"}
+    r_host = api.kmer_regions([seq], 2, scores, 40, -5.0, backend="host")
+    r_jax = api.kmer_regions([seq], 2, scores, 40, -5.0, backend="jax")
+    assert r_jax.regions.tolist() == r_host.regions.tolist()
+    assert (r_jax.counts == r_host.counts).all()
