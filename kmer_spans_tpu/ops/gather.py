@@ -105,20 +105,27 @@ def fine_scores_int(tab_vals, thr_q):
     return tab_vals.astype(jnp.int32) + 2 - thr_q
 
 
-def class_table_from_mass(mass, total_f32):
-    """Packed 4-bit rank-upper-bound classes from integer cumulative mass.
+def class_table_from_mass(mass, total_f32, class_bits: int = CLASS_BITS):
+    """Packed rank-upper-bound classes from integer cumulative mass.
 
-    class[c] = min(15, floor(rank_f32 * 16)) with rank = mass/total; the
-    screening score uses the class's UPPER edge (class+1)/16 plus a small
-    slack for the f32 division, making s_ub >= s_true always.
-    Returns int32 [4^k / 8] packed words (8 entries/word, entry e at bits
-    4e).
+    class[c] = min(levels-1, floor(rank_f32 * levels)) with
+    rank = mass/total and levels = 2^class_bits; the screening score uses
+    the class's UPPER edge (class+1)/levels plus a small slack for the
+    f32 division, making s_ub >= s_true always.  Returns int32
+    [4^k / (32/class_bits)] packed words (entry e at bits class_bits*e).
+
+    class_bits=2 halves the gather kernel's table rows (so ~2x screen
+    throughput) at 1/4-rank screening resolution — only useful when the
+    threshold leaves the mean class edge negative (thr >= ~0.7); sound at
+    any thr (coarse classes can only ADD candidate blocks, never lose a
+    region).
     """
+    levels = 1 << class_bits
+    epw = 32 // class_bits
     rank = mass.astype(jnp.float32) / jnp.maximum(total_f32, 1.0)
-    cls = jnp.clip((rank * CLASS_LEVELS).astype(jnp.int32), 0,
-                   CLASS_LEVELS - 1)
-    w = cls.reshape(-1, WORD_ENTRIES)
-    shifts = (jnp.arange(WORD_ENTRIES, dtype=jnp.int32) * CLASS_BITS)
+    cls = jnp.clip((rank * levels).astype(jnp.int32), 0, levels - 1)
+    w = cls.reshape(-1, epw)
+    shifts = (jnp.arange(epw, dtype=jnp.int32) * class_bits)
     return jnp.sum(w << shifts[None, :], axis=1, dtype=jnp.int32)
 
 

@@ -40,7 +40,7 @@ _LANES = 128
 PALLAS_COUNT_MAX_K = 8  # (4^8/128, 4096) int8 one-hot = 2 MB VMEM
 
 
-def _count_kernel(codes_ref, out_ref, acc_ref, *, hi_n, tile):
+def _count_kernel(codes_ref, out_ref, acc_ref, *, hi_n, tile, aug=False):
     step = pl.program_id(0)
 
     @pl.when(step == 0)
@@ -48,6 +48,10 @@ def _count_kernel(codes_ref, out_ref, acc_ref, *, hi_n, tile):
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
     codes = codes_ref[0]  # [1, T] int32; invalid encoded as -1
+    if aug:
+        # aug convention: bit 16 = kmer_valid, low 16 bits = code
+        valid = (codes >> 16) & 1
+        codes = jnp.where(valid == 1, codes & 0xFFFF, -1)
     hi = codes >> 7       # -1 stays -1: matches no one-hot row
     lo = (codes & (_LANES - 1)).reshape(tile, 1)  # [T, 1] column
     iota_hi = jax.lax.broadcasted_iota(jnp.int32, (hi_n, tile), 0)
@@ -95,16 +99,39 @@ def pallas_histogram(
     kmer_valid = valid
     hi_n = size // _LANES
     flat = jnp.where(kmer_valid, values, -1).reshape(-1)
+    return _histogram_flat(flat, size, hi_n, tile, aug=False)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "tile"))
+def pallas_count_aug(aug: jax.Array, k: int, tile: int = 16384):
+    """Dense 4^k spectrum straight from aug codes (bit 16 = kmer_valid).
+
+    Avoids materializing a separate codes/valid pair in HBM — the
+    validity handling happens inside the kernel, so the span pipeline's
+    single aug tensor feeds count, screen, and candidate pull (at 800 Mb
+    that halves peak HBM).
+    """
+    size = 1 << (2 * k)
+    if size < _LANES:
+        raise ValueError("pallas_count_aug requires k >= 4")
+    hi_n = size // _LANES
+    return _histogram_flat(aug.reshape(-1), size, hi_n, tile, aug=True)
+
+
+def _histogram_flat(flat, size, hi_n, tile, aug):
     n = flat.shape[0]
     pad = (-n) % tile
+    # pad marks invalid: -1 codes (plain mode) / valid-bit-0 (aug mode)
+    pad_val = 0 if aug else -1
     if pad:
-        flat = jnp.concatenate([flat, jnp.full((pad,), -1, flat.dtype)])
+        flat = jnp.concatenate(
+            [flat, jnp.full((pad,), pad_val, flat.dtype)])
     g = flat.shape[0] // tile
     # TPU block shapes: last two dims must be (8m, 128n) or the full array
     # dims — [g, 1, tile] with block (1, 1, tile) satisfies the latter
     flat = flat.reshape(g, 1, tile)
     counts2d = pl.pallas_call(
-        functools.partial(_count_kernel, hi_n=hi_n, tile=tile),
+        functools.partial(_count_kernel, hi_n=hi_n, tile=tile, aug=aug),
         grid=(g,),
         in_specs=[
             pl.BlockSpec((1, 1, tile), lambda i: (i, 0, 0),

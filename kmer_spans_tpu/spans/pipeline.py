@@ -62,18 +62,27 @@ def make_span_pipeline(
     cand_blocks: int = 128,
     screen: str = "auto",
     packed: bool = False,
+    class_bits: int = 4,
 ):
     """Build the jitted device step.
 
     Returns fn(nbases u8 [n]; thr f32) -> fixed-shape outputs.
     n must be a multiple of ``block``.  nbases encodes N as value 4.
 
-    screen: "class" — packed 4-bit rank-upper-bound table gathered by the
-    Pallas enumerated kernel (ops/gather.py; ~10x faster than XLA's
-    gather).  "fine" — int16 4096-level table via XLA gather (any k).
-    "auto" — class for k <= PALLAS_CLASS_MAX_K, else fine.  Both yield
-    integer upper-bound scores; exact spans always come from the
-    finisher's integer-mass replay.
+    screen: "class" — packed rank-upper-bound classes; for
+    k <= FUSED_CLASS_MAX_K and block >= 1024 the gather AND the scan
+    summaries run in ONE fused Pallas kernel (ops/screen_scan.py,
+    0.23 ns/element vs 0.88 + 0.32 for the round-2 three-pass form),
+    otherwise the fori-loop word-gather kernel.  "fine" — int16
+    4096-level table via XLA gather (any k).  "auto" — class for
+    k <= PALLAS_CLASS_MAX_K, else fine.  All yield integer upper-bound
+    scores; exact spans always come from the finisher's rank-chain
+    replay.
+
+    class_bits (class screen only): 4 (default) or 2 — 2-bit classes
+    halve the fused kernel's table rows (~2x screen throughput), still
+    sound at any thr but only *effective* (negative screen drift) for
+    thr >= ~0.7; coarse classes can only add candidate blocks.
 
     packed: return ONE flat int32 vector instead of a dict — the device
     tunnel pays ~30 ms latency per D2H pull, so the finisher inputs are
@@ -105,6 +114,7 @@ def make_span_pipeline(
         CLASS_LEVELS,
     )
     from ..ops.pallas_kernels import PALLAS_COUNT_MAX_K, pallas_count_spectrum
+    from ..ops.screen_scan import FUSED_CLASS_MAX_K, fused_screen_scan
     from ..parallel.pipeline import _rank_mass
 
     if screen == "auto":
@@ -128,26 +138,54 @@ def make_span_pipeline(
         scored = blocked_scored(v2, kmer_valid).reshape(nb, block)
         codes = jnp.where(kmer_valid, codes, 0)
         size = 1 << (2 * k)
-        if 4 <= k <= PALLAS_COUNT_MAX_K:
-            counts = pallas_count_spectrum(codes, kmer_valid, k)
-        else:
-            counts = jnp.zeros(size, jnp.int32).at[codes].add(
-                kmer_valid.astype(jnp.int32)
-            )
-        mass = _rank_mass(counts)
-        total = jnp.sum(counts).astype(jnp.float32)
         thr_q = screen_thr_q(thr)
-        if screen == "class":
-            tabR = prerolled_table(class_table_from_mass(mass, total))
-            words = pallas_word_gather(tabR, codes >> 3)
-            nib = (words >> ((codes & 7) * CLASS_BITS)) & (CLASS_LEVELS - 1)
-            s_int = class_scores_int(nib, thr_q)
+        fuse = (
+            screen == "class" and 4 <= k <= FUSED_CLASS_MAX_K
+            and block >= 1024
+        )
+        if fuse:
+            # ONE aug tensor (code | valid<<16 | scored<<17) feeds count,
+            # screen and candidate pull — codes/kmer_valid fuse away into
+            # its construction, halving peak HBM at multi-100Mb scale
+            aug = (
+                codes.reshape(nb, block)
+                | (kmer_valid.reshape(nb, block).astype(jnp.int32) << 16)
+                | (scored.astype(jnp.int32) << 17)
+            )
+            from ..ops.pallas_kernels import pallas_count_aug
+
+            counts = pallas_count_aug(aug, k, tile=16384)
+            mass = _rank_mass(counts)
+            total = jnp.sum(counts).astype(jnp.float32)
+            sb = 4 if nb % 4 == 0 else (2 if nb % 2 == 0 else 1)
+            tabR = prerolled_table(
+                class_table_from_mass(mass, total, class_bits))
+            tA, tB, maxA, maxB = fused_screen_scan(
+                tabR, aug.reshape(-1), thr_q, class_bits=class_bits,
+                block=block, sub_blocks=sb)
+            codes = aug  # candidate rows are masked after the gather
         else:
-            tab = fine_class_table(mass, total)
-            s_int = fine_scores_int(tab[codes], thr_q)
-        s_int = s_int.reshape(nb, block)
-        codes = codes.reshape(nb, block)
-        tA, tB, maxA, maxB = blocked_scan_summaries_int(s_int, scored)
+            if 4 <= k <= PALLAS_COUNT_MAX_K:
+                counts = pallas_count_spectrum(
+                    codes, kmer_valid, k, tile=16384)
+            else:
+                counts = jnp.zeros(size, jnp.int32).at[codes].add(
+                    kmer_valid.astype(jnp.int32)
+                )
+            mass = _rank_mass(counts)
+            total = jnp.sum(counts).astype(jnp.float32)
+            if screen == "class":
+                tabR = prerolled_table(class_table_from_mass(mass, total))
+                words = pallas_word_gather(tabR, codes >> 3)
+                nib = (words >> ((codes & 7) * CLASS_BITS)) \
+                    & (CLASS_LEVELS - 1)
+                s_int = class_scores_int(nib, thr_q)
+            else:
+                tab = fine_class_table(mass, total)
+                s_int = fine_scores_int(tab[codes], thr_q)
+            codes = codes.reshape(nb, block)
+            s_int = s_int.reshape(nb, block)
+            tA, tB, maxA, maxB = blocked_scan_summaries_int(s_int, scored)
         block_max, block_last = compose_summaries_f32(tA, tB, maxA, maxB)
         # positive-run segmentation over blocks: a block chains to the
         # previous one if S was positive crossing the boundary
@@ -178,7 +216,8 @@ def make_span_pipeline(
                 "maxA": maxA,
                 "maxB": maxB,
                 "top_idx": top_idx,
-                "codes": codes[top_idx],
+                "codes": codes[top_idx] & 0xFFFF if fuse
+                else codes[top_idx],
                 "scored": sc_cand,
             }
         C = sc_cand.shape[0]
@@ -189,11 +228,12 @@ def make_span_pipeline(
             axis=-1,
             dtype=jnp.uint32,
         )
+        cand = codes[top_idx] & 0xFFFF if fuse else codes[top_idx]
         if k <= 8:
-            cc = codes[top_idx].astype(jnp.uint32).reshape(C, block // 2, 2)
+            cc = cand.astype(jnp.uint32).reshape(C, block // 2, 2)
             cand_words = cc[..., 0] | (cc[..., 1] << 16)
         else:
-            cand_words = codes[top_idx].astype(jnp.uint32)
+            cand_words = cand.astype(jnp.uint32)
         bc = lambda x: jax.lax.bitcast_convert_type(x, jnp.int32)
         # explicit int32 everywhere: under jax_enable_x64 (tests) parts
         # would otherwise promote the concat to int64
