@@ -147,6 +147,7 @@ def make_sharded_rank_step_wide(mesh, k: int, axis: str = "data",
 def make_sharded_scan_step(
     mesh, k: int, axis: str = "data", block: int = 512,
     cand_blocks: int = 8, bucket_cap: int | None = None,
+    replicate_out: bool = False,
 ):
     """Jitted step: sharded genome + sharded pair mass -> scan summaries
     + exact candidate payloads.
@@ -287,7 +288,7 @@ def make_sharded_scan_step(
         block_max = jnp.maximum(x_in + maxA.astype(jnp.float32), maxBf)
         _, top_idx = jax.lax.top_k(block_max, min(C, nb))
         top_idx = jnp.sort(top_idx)
-        return (
+        outs = (
             tA, tB, maxA, maxB,
             top_idx + me.astype(jnp.int32) * nb,
             pm_hi.reshape(nb, block)[top_idx],
@@ -295,15 +296,26 @@ def make_sharded_scan_step(
             scored[top_idx],
             overflow,
         )
+        if replicate_out:
+            # multi-process mode: every process's host finisher needs the
+            # FULL summaries + candidate payloads — this all_gather is the
+            # cross-process "region gather" (it rides the collective mesh,
+            # DCN across hosts), after which every process computes the
+            # identical exact region list
+            outs = tuple(
+                jax.lax.all_gather(o, axis, tiled=True)
+                for o in outs[:-1]
+            ) + (overflow,)
+        return outs
 
     import jax as _jax
     from jax.sharding import PartitionSpec as P  # noqa: F811
 
+    shard_spec = P() if replicate_out else P(axis)
     sharded = _jax.shard_map(
         body, mesh=mesh,
         in_specs=(P(axis), P(axis), P(axis), P(axis), P(), P()),
-        out_specs=(P(axis), P(axis), P(axis), P(axis), P(axis),
-                   P(axis), P(axis), P(axis), P()),
+        out_specs=(shard_spec,) * 8 + (P(),),
         check_vma=False,
     )
     return _jax.jit(sharded)
