@@ -286,7 +286,26 @@ def make_sharded_scan_step(
         x_in = jnp.concatenate(
             [x_in_dev.reshape(1), block_last[:-1]])
         block_max = jnp.maximum(x_in + maxA.astype(jnp.float32), maxBf)
-        _, top_idx = jax.lax.top_k(block_max, min(C, nb))
+        # run-aware neediness (as spans/pipeline.py): every block of a
+        # positive-linked run must be pulled for the replay to start at
+        # the excursion's true beginning — rank blocks by their RUN's
+        # max, segmented within the device (runs crossing device edges
+        # may under-rank; the host's exact candidacy then flags
+        # fallback rather than ever emitting from a partial run)
+        from ..spans.pipeline import _seg_max_combine
+
+        linked = x_in > 0
+        reset = (~linked).astype(jnp.float32)
+        fwd, _ = jax.lax.associative_scan(
+            _seg_max_combine, (block_max, reset))
+        linked_next = jnp.concatenate(
+            [linked[1:], jnp.zeros((1,), bool)])
+        reset_b = (~linked_next).astype(jnp.float32)
+        bwd, _ = jax.lax.associative_scan(
+            _seg_max_combine,
+            (jnp.flip(block_max), jnp.flip(reset_b)))
+        run_max = jnp.maximum(fwd, jnp.flip(bwd))
+        _, top_idx = jax.lax.top_k(run_max, min(C, nb))
         top_idx = jnp.sort(top_idx)
         outs = (
             tA, tB, maxA, maxB,

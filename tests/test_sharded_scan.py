@@ -218,3 +218,28 @@ def test_chain_ranks_rejects_bad_mass():
     vh[3] = 12  # four codes with count 3
     with pytest.raises(ValueError):
         chain_ranks_from_mass(np.array([4]), vh, 12)  # 4 not a multiple of 3
+
+
+def test_sharded_scan_k13_no_host_table(rng):
+    """k=13: the 4^13 = 67M-entry spectrum/mass lives SHARDED on the mesh
+    end to end — the host sees only block summaries, candidate payloads,
+    and the vmax-sized value histogram (never a 4^k array).  This is the
+    single-chip-pathology answer for k >= 13 (round-2 missing #3): rank
+    mass is computed device-side in wide pairs and candidate scores
+    replay the exact chain via chain_ranks_from_mass."""
+    mesh = mesh8()
+    k = 13
+    n = 1 << 17  # 131072 bases: tiny vs 4^13 — spectrum is all 0s/1s + island
+    nb = rng.integers(0, 4, size=n, dtype=np.uint8)
+    nb[40_000:40_800] = np.tile(np.array([0, 1, 2, 3, 0, 3], np.uint8)[
+        np.arange(800) % 6], 1)
+    nb[90_000:90_020] = 4
+    res = sharded_low_comp_regions(
+        mesh, nb, k, min_width=100, min_score=10.0, thr=0.75,
+        block=1024, cand_blocks=8, bucket_cap=1 << 15)
+    assert not res.fallback and not res.overflow
+    expect = _oracle_regions(nb, k, 100, 10.0, 0.75)
+    got = [(b, e, s) for _, b, e, s in res.regions]
+    want = [(b, e, s) for b, e, s in expect]
+    assert got == want
+    assert len(got) >= 1
