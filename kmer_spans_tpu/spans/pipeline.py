@@ -157,7 +157,11 @@ def make_span_pipeline(
             counts = pallas_count_aug(aug, k, tile=16384)
             mass = _rank_mass(counts)
             total = jnp.sum(counts).astype(jnp.float32)
-            sb = 4 if nb % 4 == 0 else (2 if nb % 2 == 0 else 1)
+            # grid tiles of ~256 rows (32K codes) hit the measured sweet
+            # spot of the fused kernel (benchmarks/kernel_lab3d.py)
+            sb = max(1, min(8, 256 // (block // 128)))
+            while sb > 1 and nb % sb:
+                sb //= 2
             tabR = prerolled_table(
                 class_table_from_mass(mass, total, class_bits))
             tA, tB, maxA, maxB = fused_screen_scan(

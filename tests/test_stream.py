@@ -97,3 +97,37 @@ def test_stream_single_chunk_genome(golden):
     assert res.unresolved == []
     assert [(r[1], r[2]) for r in res.regions] == [
         (20008, 20600), (50008, 50900), (80007, 80400)]
+
+
+def test_stream_64mb_matches_native():
+    """Scale differential at 64 Mb (round-2 directive: the biggest prior
+    test was 2 Mb): stresses int32 block-count boundaries, chunk
+    stitching across 16 chunks, and an N gap straddling a chunk edge.
+    Spans AND scores must equal the native oracle exactly (~60 s)."""
+    from kmer_spans_tpu.oracle import weighted_ranks
+    from kmer_spans_tpu.utils import native
+
+    N = 64 * 1024 * 1024
+    rng = np.random.default_rng(42)
+    g = rng.integers(0, 4, N, dtype=np.uint8)
+    for s in range(3_000_000, N - 4000, 9_000_000):
+        g[s:s + 3000] = np.tile(np.array([0, 3], np.uint8), 1500)
+    g[33_554_431:33_554_631] = 4  # N gap straddling the chunk boundary
+
+    def chunks():
+        for i in range(0, N, 1 << 22):
+            yield g[i:i + (1 << 22)]
+
+    pipe = StreamingSpanPipeline(8, chunk_bases=1 << 22, block=8192,
+                                 cand_blocks=96, margin_blocks=8)
+    res = pipe.run(chunks, 0.75, 100, 20.0)
+    assert res.unresolved == []
+    counts, nw = native.count_spectrum(g, 8)
+    assert res.n_kmers == nw
+    ranks = weighted_ranks(counts, float(nw))
+    beg, end, score, _ = native.find_spans(g, 8, ranks, 0.75, 100, 20.0)
+    got = [(r[1], r[2], r[3]) for r in res.regions]
+    want = [(int(b), int(e), float(s)) for b, e, s in
+            zip(beg, end, score)]
+    assert got == want
+    assert len(got) >= 5
