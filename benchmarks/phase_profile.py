@@ -190,7 +190,8 @@ def main():
         v = np.asarray(out)
         t_pull = time.time() - t0
         t0 = time.time()
-        host = unpack_outputs(v, k, n, block, cand)
+        host = unpack_outputs(v, k, n, block, cand,
+                              packed_bases=fn.packed_bases)
         res = finish_spans(host, n, 0.75, 100, 20.0, block=block)
         t_host = time.time() - t0
         log(f"  device={t_dev*1e3:8.2f} ms  D2H={t_pull*1e3:8.2f} ms "

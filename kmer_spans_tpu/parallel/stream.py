@@ -118,6 +118,7 @@ class StreamingSpanPipeline:
             PALLAS_COUNT_MAX_K,
             pallas_count_spectrum,
         )
+        from ..ops.screen_scan import FUSED_CLASS_MAX_K, fused_screen_scan
         from ..spans.pipeline import _seg_max_combine
 
         if chunk_bases % block:
@@ -132,6 +133,8 @@ class StreamingSpanPipeline:
         h = k - 1
         use_class = k <= PALLAS_CLASS_MAX_K
         self._use_class = use_class
+        use_fused = use_class and 4 <= k <= FUSED_CLASS_MAX_K \
+            and block >= 1024
 
         @jax.jit
         def count_chunk(nbases, acc_hi, acc_lo, halo_b, halo_v):
@@ -158,13 +161,22 @@ class StreamingSpanPipeline:
         m = margin_blocks
 
         def pack_codes(c2d):
-            # [R, block] int32 codes -> packed int32 words
-            if k <= 8:
-                cc = c2d.astype(jnp.uint32).reshape(-1, block // 2, 2)
-                return jax.lax.bitcast_convert_type(
-                    cc[..., 0] | (cc[..., 1] << 16), jnp.int32
-                ).reshape(-1)
-            return c2d.astype(jnp.int32).reshape(-1)
+            # [R, block] raw rolling codes -> seed code + 2-bit bases,
+            # 16/word (code & 3 IS the position's base; the host rebuilds
+            # exact codes from the seed's k-1 halo bits + the bases) —
+            # 8x (k<=8) to 16x (k>8) fewer bytes through the ~35 MB/s
+            # tunnel than shipping whole codes
+            rows = c2d.shape[0]
+            seed = c2d[:, 0].astype(jnp.uint32)
+            b16 = (c2d & 3).astype(jnp.uint32).reshape(
+                rows, block // 16, 16)
+            shifts = (2 * jnp.arange(16, dtype=jnp.uint32))[None, None, :]
+            words = jnp.concatenate([
+                seed[:, None],
+                jnp.sum(b16 << shifts, axis=-1, dtype=jnp.uint32),
+            ], axis=1)
+            return jax.lax.bitcast_convert_type(
+                words, jnp.int32).reshape(-1)
 
         def pack_bits(b2d):
             bits32 = jnp.arange(32, dtype=jnp.uint32)
@@ -182,17 +194,33 @@ class StreamingSpanPipeline:
                 b2, v2, k, first_bases=halo_b, first_valid=halo_v
             )
             scored = blocked_scored(v2, kv, next_valid=next_v)
-            codes = jnp.where(kv, codes, 0)
+            # codes stay RAW (consumers mask by scored; the payload's
+            # bases packing needs code & 3 == the position's base)
             thr_q = screen_thr_q(thr)
-            if use_class:
+            if use_fused:
+                aug = (
+                    codes
+                    | (kv.astype(jnp.int32) << 16)
+                    | (scored.astype(jnp.int32) << 17)
+                )
+                sb = max(1, min(8, 256 // (block // 128)))
+                while sb > 1 and nb % sb:
+                    sb //= 2
+                tA, tB, maxA, maxB = fused_screen_scan(
+                    prerolled_table(tab), aug.reshape(-1), thr_q,
+                    class_bits=CLASS_BITS, block=block, sub_blocks=sb)
+            elif use_class:
                 tabR = prerolled_table(tab)
                 words = pallas_word_gather(tabR, codes >> 3)
                 nib = (words >> ((codes & 7) * CLASS_BITS)) & (
                     CLASS_LEVELS - 1)
                 s_int = class_scores_int(nib, thr_q)
+                tA, tB, maxA, maxB = blocked_scan_summaries_int(
+                    s_int, scored)
             else:
                 s_int = fine_scores_int(tab[codes], thr_q)
-            tA, tB, maxA, maxB = blocked_scan_summaries_int(s_int, scored)
+                tA, tB, maxA, maxB = blocked_scan_summaries_int(
+                    s_int, scored)
             # f32 composition orders the top-C gather only (host re-does
             # the composition exactly in int64, carry included)
             block_max, block_last = compose_summaries_f32(tA, tB, maxA, maxB)
@@ -332,17 +360,30 @@ class StreamingSpanPipeline:
         v = np.asarray(vec)
         block, C, m = self.block, self._C, self.margin
         k = self.k
-        cw = block // 2 if k <= 8 else block
+        cw = 1 + block // 16
         off = 0
 
         def codes_of(rows):
+            # seed code + 2-bit bases -> exact rolling codes (valid at
+            # every scored position: its whole k-window is real bases)
             nonlocal off
-            w = v[off:off + rows * cw].copy().view(np.uint32)
+            w = v[off:off + rows * cw].copy().view(np.uint32).reshape(
+                rows, cw)
             off += rows * cw
-            if k <= 8:
-                return np.stack([w & 0xFFFF, w >> 16], axis=-1).astype(
-                    np.int64).reshape(rows, block)
-            return w.astype(np.int64).reshape(rows, block)
+            seed = w[:, 0]
+            bases = (
+                (w[:, 1:, None] >> (2 * np.arange(16, dtype=np.uint32)))
+                & 3
+            ).reshape(rows, block).astype(np.int32)
+            ext = np.empty((rows, k - 1 + block), np.int32)
+            ext[:, k - 1:] = bases
+            for t in range(1, k):
+                ext[:, k - 1 - t] = (seed >> np.uint32(2 * t)) & 3
+            codes = np.zeros((rows, block), np.int64)
+            for t in range(k):
+                codes |= ext[:, k - 1 - t:k - 1 - t + block].astype(
+                    np.int64) << (2 * t)
+            return codes
 
         def bits_of(rows):
             nonlocal off

@@ -63,6 +63,7 @@ def make_span_pipeline(
     screen: str = "auto",
     packed: bool = False,
     class_bits: int = 4,
+    packed_counts: bool = True,
 ):
     """Build the jitted device step.
 
@@ -91,6 +92,21 @@ def make_span_pipeline(
     words above; the host rebuilds exact mass from counts — requires
     k <= 13 so the host mass table stays <= 0.5 GB).  Decode with
     unpack_outputs.
+
+    On the fused path with k <= 8, candidate codes travel as 2-BIT BASES
+    (16 per word) plus one seed code per block, 8x smaller than 16-bit
+    code pairs — D2H through the dev tunnel runs at ~35 MB/s, so at
+    800 Mb this alone cuts ~0.25 s/rep.  The host rebuilds exact codes
+    from the bases (every scored position's window is N-free, so the
+    rebuild is exact where it matters).  The returned fn carries
+    ``fn.packed_bases`` — pass it to unpack_outputs.
+
+    packed_counts=False omits the 4^k spectrum from the packed vector
+    (for k >= 10 it dominates the pull: 67 MB at k=12).  The caller must
+    then supply exact host counts to finish_spans (e.g. via the native
+    C++ counter, utils.native.count_spectrum — faster than pulling
+    device counts through the tunnel); the device still computes its own
+    spectrum internally for the screen table.
     """
     import jax
     import jax.numpy as jnp
@@ -121,6 +137,12 @@ def make_span_pipeline(
         screen = "class" if k <= PALLAS_CLASS_MAX_K else "fine"
     if packed and k > 13:
         raise ValueError("packed mode supports k <= 13 (host mass rebuild)")
+    will_fuse = (
+        screen == "class" and 4 <= k <= FUSED_CLASS_MAX_K and block >= 1024
+    )
+    # candidate blocks always travel as 2-bit bases + a seed code when
+    # block is 16-aligned (8x fewer candidate bytes at k <= 8, 16x above)
+    packed_bases = packed and block % 16 == 0
 
     @jax.jit
     def fn(nbases, thr):
@@ -136,13 +158,13 @@ def make_span_pipeline(
         v2 = (nbases < 4).reshape(n // W, W)
         codes, kmer_valid = blocked_codes(b2, v2, k)
         scored = blocked_scored(v2, kmer_valid).reshape(nb, block)
-        codes = jnp.where(kmer_valid, codes, 0)
+        # codes stay RAW rolling codes (N maps to base 0): every consumer
+        # masks by kmer_valid/scored, and raw low bits ARE the 2-bit bases
+        # (code & 3 == base at that position), which the packed_bases
+        # candidate pull ships to the host
         size = 1 << (2 * k)
         thr_q = screen_thr_q(thr)
-        fuse = (
-            screen == "class" and 4 <= k <= FUSED_CLASS_MAX_K
-            and block >= 1024
-        )
+        fuse = will_fuse
         if fuse:
             # ONE aug tensor (code | valid<<16 | scored<<17) feeds count,
             # screen and candidate pull — codes/kmer_valid fuse away into
@@ -233,7 +255,17 @@ def make_span_pipeline(
             dtype=jnp.uint32,
         )
         cand = codes[top_idx] & 0xFFFF if fuse else codes[top_idx]
-        if k <= 8:
+        if packed_bases:
+            # 2-bit bases, 16/word, + the block's first full code as the
+            # k-1 halo seed (unpack_outputs rebuilds exact codes)
+            first_codes = cand[:, 0].astype(jnp.uint32)
+            b16 = (cand & 3).astype(jnp.uint32).reshape(C, block // 16, 16)
+            shifts = (2 * jnp.arange(16, dtype=jnp.uint32))[None, None, :]
+            cand_words = jnp.concatenate([
+                first_codes[:, None],
+                jnp.sum(b16 << shifts, axis=-1, dtype=jnp.uint32),
+            ], axis=1)
+        elif k <= 8:
             cc = cand.astype(jnp.uint32).reshape(C, block // 2, 2)
             cand_words = cc[..., 0] | (cc[..., 1] << 16)
         else:
@@ -241,8 +273,10 @@ def make_span_pipeline(
         bc = lambda x: jax.lax.bitcast_convert_type(x, jnp.int32)
         # explicit int32 everywhere: under jax_enable_x64 (tests) parts
         # would otherwise promote the concat to int64
-        return jnp.concatenate([
-            counts.reshape(-1).astype(jnp.int32),
+        counts_part = (
+            [counts.reshape(-1).astype(jnp.int32)] if packed_counts else []
+        )
+        return jnp.concatenate(counts_part + [
             jnp.sum(counts).reshape(1).astype(jnp.int32),
             tA.astype(jnp.int32),
             tB.astype(jnp.int32),
@@ -253,6 +287,15 @@ def make_span_pipeline(
             bc(cand_words.astype(jnp.uint32)).reshape(-1),
         ])
 
+    try:
+        fn.packed_bases = packed_bases
+    except AttributeError:  # PjitFunction may reject new attributes
+        jitted = fn
+
+        def fn(nbases, thr):  # noqa: F811 — thin dispatch wrapper
+            return jitted(nbases, thr)
+
+        fn.packed_bases = packed_bases
     return fn
 
 
@@ -461,10 +504,39 @@ def host_rank_chain(counts: np.ndarray, total: int) -> np.ndarray:
     as src/kmer_spans.c:198-200.  Candidate replay gathers from THIS table
     so emitted span scores match the C reference bit for bit (mass/total
     differs by ~1 ulp of accumulation and was round-2 weak #4).
-    """
-    from ..oracle.reference import weighted_ranks
 
-    return weighted_ranks(np.asarray(counts), float(total))
+    Fast path for large spectra (k >= 10 tables dominate the finisher on
+    weak hosts): the stable argsort runs on the narrowest unsigned dtype
+    that holds max(counts) (numpy's stable integer sort is radix — passes
+    scale with key width), and the sorted VALUES come from bincount +
+    repeat instead of a 4^k gather.  Both transforms preserve order and
+    per-element f64 terms exactly, so the result is bit-identical to
+    oracle.weighted_ranks (asserted in tests/test_span_pipeline.py).
+    """
+    counts = np.asarray(counts)
+    n = counts.shape[0]
+    if total == 0:
+        return np.zeros(n, dtype=np.float64)
+    mx = int(counts.max()) if n else 0
+    key = counts
+    for dt in (np.uint8, np.uint16, np.uint32):
+        if mx < (1 << (8 * np.dtype(dt).itemsize)):
+            key = counts.astype(dt)
+            break
+    order = np.argsort(key, kind="stable")
+    if mx < (1 << 24):
+        h = np.bincount(counts, minlength=mx + 1)
+        sorted_vals = np.repeat(
+            np.arange(mx + 1, dtype=np.float64), h)[:-1]
+    else:
+        sorted_vals = counts[order[:-1]].astype(np.float64)
+    terms = sorted_vals / np.float64(total)
+    ranks_sorted = np.empty(n, dtype=np.float64)
+    ranks_sorted[0] = 0.0
+    np.cumsum(terms, out=ranks_sorted[1:])
+    ranks = np.empty_like(ranks_sorted)
+    ranks[order] = ranks_sorted
+    return ranks
 
 
 def compose_summaries_exact(tA, tB, maxA, maxB, x0: int = 0):
@@ -495,10 +567,16 @@ def compose_summaries_exact(tA, tB, maxA, maxB, x0: int = 0):
     return block_max, block_last
 
 
-def unpack_outputs(vec, k: int, n: int, block: int, cand_blocks: int):
+def unpack_outputs(vec, k: int, n: int, block: int, cand_blocks: int,
+                   packed_bases: bool = False, packed_counts: bool = True):
     """Decode make_span_pipeline(packed=True) output into the finisher dict.
 
     vec: the packed int32 device vector (pulled in ONE transfer here).
+    packed_bases: pass the pipeline fn's ``packed_bases`` attribute —
+    candidate blocks then arrive as 2-bit bases + a seed code and exact
+    codes are rebuilt here (valid wherever ``scored`` is set: a scored
+    position's whole k-window is real bases, so the rolling rebuild from
+    raw bases reproduces the device's code exactly).
     """
     v = np.asarray(vec)
     size = 1 << (2 * k)
@@ -512,7 +590,7 @@ def unpack_outputs(vec, k: int, n: int, block: int, cand_blocks: int):
         off += m
         return out
 
-    counts = take(size)
+    counts = take(size) if packed_counts else None
     total = int(take(1)[0])
     tA = take(nb)
     tB = take(nb)
@@ -523,7 +601,25 @@ def unpack_outputs(vec, k: int, n: int, block: int, cand_blocks: int):
     scored = (
         (sc_words[:, None] >> np.arange(32, dtype=np.uint32)) & 1
     ).astype(bool).reshape(C, block)
-    if k <= 8:
+    if packed_bases:
+        cw = take(C * (1 + block // 16)).copy().view(np.uint32).reshape(
+            C, 1 + block // 16)
+        first_codes = cw[:, 0]
+        bw = cw[:, 1:]
+        bases = (
+            (bw[:, :, None] >> (2 * np.arange(16, dtype=np.uint32))) & 3
+        ).reshape(C, block).astype(np.int32)
+        # ext[:, k-1+j] = base at block position j; ext[:, k-1-t] = halo
+        # base t positions before the block (bits 2t..2t+1 of the seed)
+        ext = np.empty((C, k - 1 + block), np.int32)
+        ext[:, k - 1:] = bases
+        for t in range(1, k):
+            ext[:, k - 1 - t] = (first_codes >> np.uint32(2 * t)) & 3
+        codes = np.zeros((C, block), np.int64)
+        for t in range(k):
+            codes |= ext[:, k - 1 - t:k - 1 - t + block].astype(
+                np.int64) << (2 * t)
+    elif k <= 8:
         cw = take(C * (block // 2)).copy().view(np.uint32)
         codes = np.stack([cw & 0xFFFF, cw >> 16], axis=-1).astype(
             np.int64).reshape(C, block)
@@ -558,6 +654,7 @@ def finish_spans(
     min_score: float,
     block: int = 8192,
     seq_id: int = 0,
+    counts: np.ndarray | None = None,
 ) -> SpanPipelineResult:
     """Host finisher: exact candidate discovery + exact replay.
 
@@ -566,6 +663,11 @@ def finish_spans(
     candidate stretches, and replays them in exact f64 from integer mass.
     Returns fallback=True when a candidate run was not fully covered by
     the top-C gather (caller should rerun via the exact api path).
+
+    counts: exact host spectrum overriding out["counts"] — required when
+    the pipeline ran with packed_counts=False (the caller recounts on the
+    host, e.g. utils.native.count_spectrum, instead of pulling 4^k
+    device words through the tunnel).
     """
     block_max, block_last = compose_summaries_exact(
         out["tA"], out["tB"], out["maxA"], out["maxB"]
@@ -596,8 +698,14 @@ def finish_spans(
     pos_in_pull = {int(bidx): i for i, bidx in enumerate(top_idx)}
     codes = np.asarray(out["codes"])
     scored = np.asarray(out["scored"])
+    if counts is None:
+        counts = out["counts"]
+    if counts is None:
+        raise ValueError(
+            "finish_spans needs exact counts: pipeline ran with "
+            "packed_counts=False — pass counts= (host recount)")
     # bit-identical replay scores: gather the reference's f64 rank CHAIN
-    ranks = host_rank_chain(out["counts"], total)
+    ranks = host_rank_chain(counts, total)
 
     # assemble maximal stretches of consecutive candidate blocks
     regions = []

@@ -114,10 +114,69 @@ def test_packed_outputs_match_dict(k):
     fn_p = make_span_pipeline(k, block=block, cand_blocks=cand, packed=True)
     thr = jnp.float32(0.75)
     ref = {kk: np.asarray(v) for kk, v in fn_d(jnp.asarray(arr), thr).items()}
-    got = unpack_outputs(fn_p(jnp.asarray(arr), thr), k, n, block, cand)
+    got = unpack_outputs(fn_p(jnp.asarray(arr), thr), k, n, block, cand,
+                         packed_bases=fn_p.packed_bases)
+    assert fn_p.packed_bases
     for kk in ref:
         assert np.array_equal(np.asarray(got[kk]), ref[kk]), kk
     # and the finisher agrees end to end
     r1 = finish_spans(ref, n, 0.75, 30, 5.0, block=block)
     r2 = finish_spans(got, n, 0.75, 30, 5.0, block=block)
     assert r1.regions == r2.regions and r1.fallback == r2.fallback
+
+
+def test_host_rank_chain_bit_identical_to_oracle():
+    """host_rank_chain's radix/bincount fast path must reproduce the
+    oracle's sequential f64 chain bit for bit (argsort dtype narrowing
+    and bincount+repeat both preserve order and per-element terms)."""
+    from kmer_spans_tpu.spans.pipeline import host_rank_chain
+
+    rng = np.random.default_rng(3)
+    for size, hi in [(4096, 40), (4096, 70000), (1 << 16, 5)]:
+        counts = rng.integers(0, hi, size).astype(np.int64)
+        counts[rng.integers(0, size, 17)] = 0  # zero-count ties
+        total = int(counts.sum())
+        got = host_rank_chain(counts, total)
+        want = weighted_ranks(counts, float(total))
+        assert np.array_equal(got, want), (size, hi)
+    assert np.array_equal(host_rank_chain(np.zeros(16, np.int64), 0),
+                          np.zeros(16))
+
+
+def test_packed_counts_false_with_host_recount():
+    """packed_counts=False drops the 4^k spectrum from the device vector;
+    the finisher replays from a host recount instead (the k >= 10 pull
+    killer: 67 MB of device counts at k=12)."""
+    from kmer_spans_tpu.oracle.reference import count_spectrum
+    from kmer_spans_tpu.spans.pipeline import unpack_outputs
+
+    rng = np.random.default_rng(123)
+    seq = random_seq(rng, 30_000, n_prob=0.002)
+    s = list(seq)
+    s[7000:7500] = "AG" * 250
+    seq = "".join(s)
+    nb = _nbases(seq)
+    block, cand, k = 1024, 16, 8
+    n = -(-len(nb) // block) * block
+    arr = np.full(n, 4, np.uint8)
+    arr[: len(nb)] = nb
+    fn_full = make_span_pipeline(k, block=block, cand_blocks=cand,
+                                 packed=True)
+    fn_nc = make_span_pipeline(k, block=block, cand_blocks=cand,
+                               packed=True, packed_counts=False)
+    thr = jnp.float32(0.75)
+    v_full = np.asarray(fn_full(jnp.asarray(arr), thr))
+    v_nc = np.asarray(fn_nc(jnp.asarray(arr), thr))
+    assert v_nc.shape[0] == v_full.shape[0] - (1 << (2 * k))
+    got = unpack_outputs(v_nc, k, n, block, cand,
+                         packed_bases=fn_nc.packed_bases,
+                         packed_counts=False)
+    assert got["counts"] is None
+    counts_host, _ = count_spectrum(seq, k)
+    ref = unpack_outputs(v_full, k, n, block, cand,
+                         packed_bases=fn_full.packed_bases)
+    assert np.array_equal(ref["counts"], counts_host)
+    r_full = finish_spans(ref, n, 0.75, 30, 5.0, block=block)
+    r_nc = finish_spans(got, n, 0.75, 30, 5.0, block=block,
+                        counts=counts_host)
+    assert r_full.regions == r_nc.regions and len(r_nc.regions) >= 1
