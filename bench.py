@@ -123,7 +123,8 @@ def bench_pipeline(nbases, k, thr, min_w, min_s, block, cand, reps, chain):
     def finish(out):
         host = unpack_outputs(np.asarray(out), k, n, block, cand,
                               packed_bases=fn.packed_bases,
-                              packed_counts=packed_counts)
+                              packed_counts=packed_counts,
+                              lazy_codes=True)
         return finish_spans(host, n, thr, min_w, min_s, block=block,
                             counts=counts_host)
 

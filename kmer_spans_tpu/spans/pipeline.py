@@ -567,8 +567,32 @@ def compose_summaries_exact(tA, tB, maxA, maxB, x0: int = 0):
     return block_max, block_last
 
 
+def rebuild_codes(cw: np.ndarray, k: int, block: int) -> np.ndarray:
+    """Exact rolling codes from packed candidate words (vectorized host).
+
+    cw: [rows, 1 + block/16] uint32 — seed code + 2-bit bases, 16/word.
+    Valid at every scored position (its whole k-window is real bases).
+    """
+    rows = cw.shape[0]
+    first_codes = cw[:, 0]
+    bases = (
+        (cw[:, 1:, None] >> (2 * np.arange(16, dtype=np.uint32))) & 3
+    ).reshape(rows, block).astype(np.int32)
+    # ext[:, k-1+j] = base at block position j; ext[:, k-1-t] = halo
+    # base t positions before the block (bits 2t..2t+1 of the seed)
+    ext = np.empty((rows, k - 1 + block), np.int32)
+    ext[:, k - 1:] = bases
+    for t in range(1, k):
+        ext[:, k - 1 - t] = (first_codes >> np.uint32(2 * t)) & 3
+    codes = np.zeros((rows, block), np.int32)  # k <= 15 -> 30 bits
+    for t in range(k):
+        codes |= ext[:, k - 1 - t:k - 1 - t + block] << (2 * t)
+    return codes
+
+
 def unpack_outputs(vec, k: int, n: int, block: int, cand_blocks: int,
-                   packed_bases: bool = False, packed_counts: bool = True):
+                   packed_bases: bool = False, packed_counts: bool = True,
+                   lazy_codes: bool = False):
     """Decode make_span_pipeline(packed=True) output into the finisher dict.
 
     vec: the packed int32 device vector (pulled in ONE transfer here).
@@ -577,6 +601,10 @@ def unpack_outputs(vec, k: int, n: int, block: int, cand_blocks: int,
     codes are rebuilt here (valid wherever ``scored`` is set: a scored
     position's whole k-window is real bases, so the rolling rebuild from
     raw bases reproduces the device's code exactly).
+    lazy_codes (packed_bases only): skip the eager rebuild — the dict
+    carries the raw ``cand_words`` and finish_spans decodes only the
+    blocks that are actually candidates (via the native C replay when
+    available, which never materializes a codes array at all).
     """
     v = np.asarray(vec)
     size = 1 << (2 * k)
@@ -601,24 +629,15 @@ def unpack_outputs(vec, k: int, n: int, block: int, cand_blocks: int,
     scored = (
         (sc_words[:, None] >> np.arange(32, dtype=np.uint32)) & 1
     ).astype(bool).reshape(C, block)
+    cand_words = None
     if packed_bases:
         cw = take(C * (1 + block // 16)).copy().view(np.uint32).reshape(
             C, 1 + block // 16)
-        first_codes = cw[:, 0]
-        bw = cw[:, 1:]
-        bases = (
-            (bw[:, :, None] >> (2 * np.arange(16, dtype=np.uint32))) & 3
-        ).reshape(C, block).astype(np.int32)
-        # ext[:, k-1+j] = base at block position j; ext[:, k-1-t] = halo
-        # base t positions before the block (bits 2t..2t+1 of the seed)
-        ext = np.empty((C, k - 1 + block), np.int32)
-        ext[:, k - 1:] = bases
-        for t in range(1, k):
-            ext[:, k - 1 - t] = (first_codes >> np.uint32(2 * t)) & 3
-        codes = np.zeros((C, block), np.int64)
-        for t in range(k):
-            codes |= ext[:, k - 1 - t:k - 1 - t + block].astype(
-                np.int64) << (2 * t)
+        if lazy_codes:
+            cand_words = cw
+            codes = None
+        else:
+            codes = rebuild_codes(cw, k, block)
     elif k <= 8:
         cw = take(C * (block // 2)).copy().view(np.uint32)
         codes = np.stack([cw & 0xFFFF, cw >> 16], axis=-1).astype(
@@ -636,6 +655,7 @@ def unpack_outputs(vec, k: int, n: int, block: int, cand_blocks: int,
         "maxB": maxB,
         "top_idx": top_idx,
         "codes": codes,
+        "cand_words": cand_words,
         "scored": scored,
     }
 
@@ -696,7 +716,9 @@ def finish_spans(
         return SpanPipelineResult(regions=[], fallback=True)
 
     pos_in_pull = {int(bidx): i for i, bidx in enumerate(top_idx)}
-    codes = np.asarray(out["codes"])
+    codes = out["codes"] if out["codes"] is None else np.asarray(
+        out["codes"])
+    cand_words = out.get("cand_words")
     scored = np.asarray(out["scored"])
     if counts is None:
         counts = out["counts"]
@@ -706,6 +728,14 @@ def finish_spans(
             "packed_counts=False — pass counts= (host recount)")
     # bit-identical replay scores: gather the reference's f64 rank CHAIN
     ranks = host_rank_chain(counts, total)
+    k = (len(ranks).bit_length() - 1) // 2  # len(ranks) == 4^k
+    use_native = False
+    if codes is None:
+        from ..utils import native
+
+        use_native = native.available()
+        if not use_native:
+            codes = rebuild_codes(cand_words, k, block)
 
     # assemble maximal stretches of consecutive candidate blocks
     regions = []
@@ -719,15 +749,26 @@ def finish_spans(
             j += 1
         # stretch blocks [i, j]; assemble s and scored
         rows = [pos_in_pull[b] for b in range(i, j + 1)]
-        c_flat = codes[rows].reshape(-1)
-        sc_flat = scored[rows].reshape(-1)
-        s_flat = np.where(sc_flat, ranks[c_flat] - thr, 0.0)
+        sc_rows = scored[rows]
         base_pos = i * block  # 0-based position of first assembled entry
-        regions.extend(
-            _replay_stretch(
-                s_flat, sc_flat, base_pos, min_width, min_score, seq_id,
+        if use_native:
+            beg, end, sc = native.replay_packed(
+                cand_words[rows], sc_rows, block, k, ranks, thr,
+                min_width, min_score, base_pos)
+            regions.extend(
+                (seq_id, int(b), int(e), float(s))
+                for b, e, s in zip(beg, end, sc)
             )
-        )
+        else:
+            c_flat = codes[rows].reshape(-1)
+            sc_flat = sc_rows.reshape(-1)
+            s_flat = np.where(sc_flat, ranks[c_flat] - thr, 0.0)
+            regions.extend(
+                _replay_stretch(
+                    s_flat, sc_flat, base_pos, min_width, min_score,
+                    seq_id,
+                )
+            )
         i = j + 1
     return SpanPipelineResult(regions=regions, fallback=False)
 

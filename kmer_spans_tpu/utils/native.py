@@ -48,6 +48,14 @@ def _load():
         lib.ks_pack_fasta_body.restype = ctypes.c_int64
         lib.ks_pack_fasta_body.argtypes = [
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p]
+        lib.ks_replay_packed.restype = ctypes.c_int64
+        lib.ks_replay_packed.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
+            ctypes.c_void_p, ctypes.c_double,
+            ctypes.c_int64, ctypes.c_double, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64]
         _lib = lib
     except Exception:
         _lib = None
@@ -78,6 +86,49 @@ def count_spectrum(nbases: np.ndarray, k: int) -> tuple[np.ndarray, int] | None:
     counts = np.zeros(1 << (2 * k), dtype=np.int32)
     n = lib.ks_count(nbases.ctypes.data, nbases.shape[0], k, counts.ctypes.data)
     return counts.astype(np.int64), int(n)
+
+
+def replay_packed(
+    cand_words: np.ndarray,
+    scored: np.ndarray,
+    block: int,
+    k: int,
+    ranks: np.ndarray,
+    threshold: float,
+    min_width: int,
+    min_score: float,
+    base_pos: int,
+):
+    """Reference-exact candidate-stretch replay from the device's packed
+    2-bit-bases payload (spans/pipeline.py packed_bases format); None if
+    the native library is unavailable.
+
+    cand_words: [rows, 1 + block/16] uint32 (seed code + base words) for
+    CONSECUTIVE candidate blocks; scored: [rows, block] bool; base_pos:
+    global 0-based position of the stretch's first element.
+    Returns (beg, end, score) arrays in global 1-based last-base coords.
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    cand_words = np.ascontiguousarray(cand_words, dtype=np.uint32)
+    scored = np.ascontiguousarray(scored, dtype=np.uint8)
+    rows = cand_words.shape[0]
+    ranks = np.ascontiguousarray(ranks, dtype=np.float64)
+    cap = 256
+    while True:
+        beg = np.empty(cap, dtype=np.int64)
+        end = np.empty(cap, dtype=np.int64)
+        score = np.empty(cap, dtype=np.float64)
+        nreg = lib.ks_replay_packed(
+            cand_words.ctypes.data, scored.ctypes.data,
+            rows, block, k, ranks.ctypes.data, threshold,
+            min_width, min_score, base_pos,
+            beg.ctypes.data, end.ctypes.data, score.ctypes.data, cap,
+        )
+        if nreg <= cap:
+            return beg[:nreg], end[:nreg], score[:nreg]
+        cap = int(nreg) + 16
 
 
 def find_spans(

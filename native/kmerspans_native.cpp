@@ -145,6 +145,109 @@ int64_t ks_spans(const uint8_t* nb, int64_t n, int32_t k,
 }
 
 // ---------------------------------------------------------------------------
+// Candidate-stretch replay straight from the device's packed payload
+// (spans/pipeline.py packed_bases format): per block one uint32 seed code
+// (the rolling code at the block's first position, whose high bits are the
+// k-1 halo bases) followed by block/16 words of 2-bit bases.  Replays the
+// reference scan (SURVEY A.4 excursion recursion: first-positive ->
+// first-argmax, jump-back rescans) over the scored positions with
+// s = ranks[code] - threshold in sequential f64 — bit-identical to both
+// the numpy finisher (spans/extract.py) and src/kmer_spans.c:243-307.
+// Coordinates: 1-based last-base positions offset by base_pos (the global
+// 0-based position of element 0).  Returns total regions (only the first
+// `capacity` are written).
+// ---------------------------------------------------------------------------
+int64_t ks_replay_packed(const uint32_t* cand_words, const uint8_t* scored,
+                         int64_t rows, int64_t block, int32_t k,
+                         const double* ranks, double threshold,
+                         int64_t min_width, double min_score,
+                         int64_t base_pos,
+                         int64_t* out_beg, int64_t* out_end,
+                         double* out_score, int64_t capacity) {
+    const int64_t wpr = 1 + block / 16;
+    const uint64_t mask = (1ull << (2 * k)) - 1;
+    const int64_t n = rows * block;
+
+    // base at stretch index i (i in [-(k-1), n)); negative indices read the
+    // halo bits of row 0's seed code
+    auto base_at = [&](int64_t i) -> uint32_t {
+        if (i < 0) return (cand_words[0] >> (uint32_t)(-2 * i)) & 3u;
+        const int64_t r = i / block, o = i % block;
+        const uint32_t* w = cand_words + r * wpr;
+        if (o == 0) return w[0] & 3u;
+        return (w[1 + (o >> 4)] >> (uint32_t)(2 * (o & 15))) & 3u;
+    };
+    auto code_at = [&](int64_t i) -> uint64_t {
+        const int64_t r = i / block, o = i % block;
+        if (o == 0) return cand_words[r * wpr] & mask;
+        uint64_t c = 0;
+        for (int32_t t = k - 1; t >= 0; --t)
+            c = ((c << 2) | base_at(i - t)) & mask;
+        return c;
+    };
+
+    int64_t nreg = 0;
+    int64_t i = 0;
+    while (i < n) {
+        while (i < n && !scored[i]) ++i;
+        if (i >= n) break;
+        int64_t a = i;  // scored-run start
+        int64_t b = a;
+        while (b < n && scored[b]) ++b;
+        --b;  // inclusive run end
+        i = b + 1;
+        // restartable reference scan over [a, b]
+        int64_t resume = a;
+        while (resume <= b) {
+            uint64_t code = code_at(resume);
+            double S = 0.0;
+            double mx = 0.0;
+            int64_t u = -1, m = -1;
+            int64_t p = resume;
+            bool jumped = false;
+            for (; p <= b; ++p) {
+                if (p > resume) code = ((code << 2) | base_at(p)) & mask;
+                S += ranks[code] - threshold;
+                if (S <= 0.0) {
+                    S = 0.0;
+                    if (u >= 0) {  // excursion closed at p
+                        if (m - u >= min_width && mx >= min_score) {
+                            if (nreg < capacity) {
+                                out_beg[nreg] = base_pos + u + 1;
+                                out_end[nreg] = base_pos + m + 1;
+                                out_score[nreg] = mx;
+                            }
+                            ++nreg;
+                            resume = m + 1;  // jump-back rescan
+                            jumped = true;
+                            break;
+                        }
+                        u = -1; m = -1; mx = 0.0;
+                    }
+                    continue;
+                }
+                if (u < 0) { u = p; m = p; mx = S; }
+                else if (S > mx) { mx = S; m = p; }
+            }
+            if (jumped) continue;
+            // run end with open excursion: terminal emission + rescan
+            if (u >= 0 && m - u >= min_width && mx >= min_score) {
+                if (nreg < capacity) {
+                    out_beg[nreg] = base_pos + u + 1;
+                    out_end[nreg] = base_pos + m + 1;
+                    out_score[nreg] = mx;
+                }
+                ++nreg;
+                resume = m + 1;
+                continue;
+            }
+            break;  // run done
+        }
+    }
+    return nreg;
+}
+
+// ---------------------------------------------------------------------------
 // FASTA body extraction: strips '\r', '\n', ' ', '\t' in place while
 // packing (used by the io layer after header splitting).
 // Returns packed length.

@@ -143,6 +143,45 @@ def test_host_rank_chain_bit_identical_to_oracle():
                           np.zeros(16))
 
 
+@pytest.mark.parametrize("k", [4, 8, 11])
+def test_lazy_codes_native_replay_matches_numpy(k):
+    """finish_spans over the lazy packed payload (native C replay when
+    available, per-stretch numpy rebuild otherwise) must equal the eager
+    numpy path exactly — spans AND f64 scores."""
+    from kmer_spans_tpu.spans.pipeline import unpack_outputs
+    from kmer_spans_tpu.utils import native
+
+    rng = np.random.default_rng(31 + k)
+    seq = random_seq(rng, 60_000, n_prob=0.004)
+    s = list(seq)
+    s[9000:9700] = "AG" * 350
+    s[30000:30090] = "N" * 90  # N gap inside a block
+    s[30100:30800] = "CCT" * 233 + "C"
+    seq = "".join(s)
+    nb = _nbases(seq)
+    block, cand = 1024, 24
+    n = -(-len(nb) // block) * block
+    arr = np.full(n, 4, np.uint8)
+    arr[: len(nb)] = nb
+    fn = make_span_pipeline(k, block=block, cand_blocks=cand, packed=True)
+    thr = jnp.float32(0.72)
+    v = np.asarray(fn(jnp.asarray(arr), thr))
+    eager = unpack_outputs(v, k, n, block, cand,
+                           packed_bases=fn.packed_bases)
+    lazy = unpack_outputs(v, k, n, block, cand,
+                          packed_bases=fn.packed_bases, lazy_codes=True)
+    assert lazy["codes"] is None and lazy["cand_words"] is not None
+    r_eager = finish_spans(eager, n, 0.72, 30, 5.0, block=block)
+    r_lazy = finish_spans(lazy, n, 0.72, 30, 5.0, block=block)
+    assert r_eager.regions == r_lazy.regions
+    assert len(r_lazy.regions) >= 2
+    assert native.available()  # the lazy path above exercised the C replay
+    # and both must match the sequential oracle
+    expect = _chain_rank_regions(seq, k, 0.72, 30, 5.0)
+    assert [(r[1], r[2], r[3]) for r in r_lazy.regions] == \
+        [(e[1], e[2], e[3]) for e in expect]
+
+
 def test_packed_counts_false_with_host_recount():
     """packed_counts=False drops the 4^k spectrum from the device vector;
     the finisher replays from a host recount instead (the k >= 10 pull
