@@ -352,38 +352,27 @@ class StreamingSpanPipeline:
         return tA, tB, maxA, maxB, top_idx
 
     def _unpack_payload(self, vec, ranks, thr):
-        """Decode packed codes/bits; return s/scored for candidates + margins.
+        """Decode packed codes/bits; candidates stay as packed words
+        (decoded lazily per stretch — natively when the C library is
+        available); margins (small) decode to s/scored eagerly.
 
         ranks: the reference's f64 sequential rank chain
         (spans.pipeline.host_rank_chain) — replayed scores are bit-identical
         to the C reference (src/kmer_spans.c:198-200, :268)."""
+        from ..spans.pipeline import rebuild_codes
+
         v = np.asarray(vec)
         block, C, m = self.block, self._C, self.margin
         k = self.k
         cw = 1 + block // 16
         off = 0
 
-        def codes_of(rows):
-            # seed code + 2-bit bases -> exact rolling codes (valid at
-            # every scored position: its whole k-window is real bases)
+        def words_of(rows):
             nonlocal off
             w = v[off:off + rows * cw].copy().view(np.uint32).reshape(
                 rows, cw)
             off += rows * cw
-            seed = w[:, 0]
-            bases = (
-                (w[:, 1:, None] >> (2 * np.arange(16, dtype=np.uint32)))
-                & 3
-            ).reshape(rows, block).astype(np.int32)
-            ext = np.empty((rows, k - 1 + block), np.int32)
-            ext[:, k - 1:] = bases
-            for t in range(1, k):
-                ext[:, k - 1 - t] = (seed >> np.uint32(2 * t)) & 3
-            codes = np.zeros((rows, block), np.int64)
-            for t in range(k):
-                codes |= ext[:, k - 1 - t:k - 1 - t + block].astype(
-                    np.int64) << (2 * t)
-            return codes
+            return w
 
         def bits_of(rows):
             nonlocal off
@@ -392,21 +381,22 @@ class StreamingSpanPipeline:
             return ((w[:, None] >> np.arange(32, dtype=np.uint32)) & 1
                     ).astype(bool).reshape(rows, block)
 
-        def s_of(codes, sc):
+        def s_of(words, sc):
+            codes = rebuild_codes(words, k, block)
             return np.where(sc, ranks[codes] - thr, 0.0)
 
-        c_cand = codes_of(C)
+        w_cand = words_of(C)
         sc_cand = bits_of(C)
-        c_head = codes_of(m)
+        w_head = words_of(m)
         sc_head = bits_of(m)
-        c_tail = codes_of(m)
+        w_tail = words_of(m)
         sc_tail = bits_of(m)
         assert off == v.shape[0], (off, v.shape)
         return {
-            "s_cand": s_of(c_cand, sc_cand), "sc_cand": sc_cand,
-            "s_head": s_of(c_head, sc_head).reshape(-1),
+            "w_cand": w_cand, "sc_cand": sc_cand,
+            "s_head": s_of(w_head, sc_head).reshape(-1),
             "sc_head": sc_head.reshape(-1),
-            "s_tail": s_of(c_tail, sc_tail).reshape(-1),
+            "s_tail": s_of(w_tail, sc_tail).reshape(-1),
             "sc_tail": sc_tail.reshape(-1),
         }
 
@@ -568,7 +558,7 @@ class StreamingSpanPipeline:
         have = np.zeros(nb, bool)
         have[top_idx] = True
         pos_in_pull = {int(b): i for i, b in enumerate(top_idx)}
-        s_cand = pl["s_cand"]
+        w_cand = pl["w_cand"]
         sc_cand = pl["sc_cand"]
 
         regions = []
@@ -646,6 +636,10 @@ class StreamingSpanPipeline:
             if (cand & ~have).any():
                 unresolved.append((ci, "candidate capacity overflow"))
             else:
+                from ..spans.pipeline import rebuild_codes
+                from ..utils import native
+
+                use_native = native.available()
                 i = 0
                 while i < nb:
                     if not cand[i]:
@@ -655,19 +649,31 @@ class StreamingSpanPipeline:
                     while j + 1 < nb and cand[j + 1]:
                         j += 1
                     rows = [pos_in_pull[b] for b in range(i, j + 1)]
-                    s_flat = s_cand[rows].reshape(-1)
-                    sc_flat = sc_cand[rows].reshape(-1)
-                    bp = base + i * block  # global pos of s_flat[0]
-                    gpos = bp + np.arange(s_flat.shape[0])
+                    bp = base + i * block  # global pos of first element
+                    ne = len(rows) * block
+                    gpos = bp + np.arange(ne).reshape(len(rows), block)
                     msk = gpos <= boundary_done_global
                     if clip_from_global is not None:
                         msk |= gpos >= clip_from_global
-                    sc_flat = sc_flat & ~msk
-                    regs = extract_spans(s_flat, sc_flat, min_width,
-                                         min_score, seq_id=seq_id)
-                    regions.extend(
-                        (sid, beg + bp, end + bp, sc)
-                        for sid, beg, end, sc in regs
-                    )
+                    sc_rows = sc_cand[rows] & ~msk
+                    if use_native:
+                        beg, end, sc = native.replay_packed(
+                            w_cand[rows], sc_rows, block, self.k, ranks,
+                            thr, min_width, min_score, bp)
+                        regions.extend(
+                            (seq_id, int(b), int(e), float(s))
+                            for b, e, s in zip(beg, end, sc)
+                        )
+                    else:
+                        codes = rebuild_codes(w_cand[rows], self.k, block)
+                        sc_flat = sc_rows.reshape(-1)
+                        s_flat = np.where(
+                            sc_flat, ranks[codes.reshape(-1)] - thr, 0.0)
+                        regs = extract_spans(s_flat, sc_flat, min_width,
+                                             min_score, seq_id=seq_id)
+                        regions.extend(
+                            (sid, beg + bp, end + bp, sc)
+                            for sid, beg, end, sc in regs
+                        )
                     i = j + 1
         return regions, open_next, x_out
