@@ -174,6 +174,11 @@ def make_span_pipeline(
                 | (kmer_valid.reshape(nb, block).astype(jnp.int32) << 16)
                 | (scored.astype(jnp.int32) << 17)
             )
+            # materialize aug ONCE: without the barrier XLA rematerializes
+            # the whole codes+aug chain into each of its three consumers
+            # (count kernel, screen kernel, candidate gather), re-paying
+            # ~0.12 ns/el per copy (benchmarks/phase_profile3.py)
+            aug = jax.lax.optimization_barrier(aug)
             from ..ops.pallas_kernels import pallas_count_aug
 
             counts = pallas_count_aug(aug, k, tile=16384)
