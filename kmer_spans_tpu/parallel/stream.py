@@ -49,6 +49,8 @@ import os
 import numpy as np
 
 from ..ops.gather import SCREEN_SCALE
+from ..spans.pipeline import rebuild_codes
+from ..utils import native
 
 _NEG64 = -(1 << 62)
 
@@ -636,9 +638,6 @@ class StreamingSpanPipeline:
             if (cand & ~have).any():
                 unresolved.append((ci, "candidate capacity overflow"))
             else:
-                from ..spans.pipeline import rebuild_codes
-                from ..utils import native
-
                 use_native = native.available()
                 i = 0
                 while i < nb:

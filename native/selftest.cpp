@@ -18,6 +18,9 @@ int64_t ks_spans(const uint8_t*, int64_t, int32_t, const double*, double,
                  int64_t*);
 void ks_pack(const uint8_t*, int64_t, uint8_t*);
 int64_t ks_pack_fasta_body(const uint8_t*, int64_t, uint8_t*);
+int64_t ks_replay_packed(const uint32_t*, const uint8_t*, int64_t, int64_t,
+                         int32_t, const double*, double, int64_t, double,
+                         int64_t, int64_t*, int64_t*, double*, int64_t);
 }
 
 static uint64_t lcg_state = 42;
@@ -76,6 +79,84 @@ int main() {
                 (long long)nr, (long long)beg[0], (long long)end[0]);
         return 1;
     }
+    // packed candidate replay vs ks_spans on the same bases: pack a
+    // 4-block stretch (seed code + 2-bit bases, 16/word), replay it —
+    // including a capacity<nreg retry and resume<k-1 halo reads — and
+    // require coordinate/score agreement with the sequential caller.
+    {
+        const int32_t rk = 5;
+        const int64_t block = 64, rows = 4, n2 = rows * block;
+        std::vector<uint8_t> seq(n2 + rk - 1);
+        for (auto& b : seq) b = lcg_base();
+        for (int64_t i = 20; i < 60; ++i)
+            seq[rk - 1 + i] = (i % 2) ? 3 : 0;  // AG island 1
+        for (int64_t i = 140; i < 200; ++i)
+            seq[rk - 1 + i] = (i % 2) ? 3 : 0;  // AG island 2
+        // weights: any kmer of alternating A/G content scores high
+        std::vector<double> w2((size_t)1 << (2 * rk), -0.4);
+        for (uint32_t c = 0; c < (1u << (2 * rk)); ++c) {
+            bool ag = true;
+            for (int t = 0; t < rk; ++t) {
+                uint32_t b = (c >> (2 * t)) & 3;
+                if (b != 0 && b != 3) { ag = false; break; }
+            }
+            if (ag) w2[c] = 0.6;
+        }
+        // pack: per row a seed code (rolling code at the row's first
+        // position; high bits = the k-1 halo bases) + block/16 base words
+        const int64_t wpr = 1 + block / 16;
+        std::vector<uint32_t> cw(rows * wpr, 0);
+        const uint64_t mask2 = (1ull << (2 * rk)) - 1;
+        uint64_t code = 0;
+        for (int64_t i = 0; i < n2 + rk - 1; ++i) {
+            code = ((code << 2) | seq[i]) & mask2;
+            int64_t p = i - (rk - 1);  // stretch position of this last base
+            if (p >= 0 && p % block == 0) cw[(p / block) * wpr] = (uint32_t)code;
+            if (p >= 0)
+                cw[(p / block) * wpr + 1 + ((p % block) >> 4)] |=
+                    (uint32_t)seq[i] << (2 * (p % block & 15));
+        }
+        std::vector<uint8_t> scor(n2, 1);
+        std::vector<int64_t> rbeg(64), rend(64);
+        std::vector<double> rscore(64);
+        // capacity-overflow protocol first: nreg must exceed a cap of 1
+        int64_t nr1 = ks_replay_packed(cw.data(), scor.data(), rows, block,
+                                       rk, w2.data(), 0.0, 8, 2.0, 0,
+                                       rbeg.data(), rend.data(),
+                                       rscore.data(), 1);
+        int64_t nr2 = ks_replay_packed(cw.data(), scor.data(), rows, block,
+                                       rk, w2.data(), 0.0, 8, 2.0, 0,
+                                       rbeg.data(), rend.data(),
+                                       rscore.data(), 64);
+        if (nr1 != nr2 || nr2 < 2) {
+            fprintf(stderr, "replay: nr1 %lld nr2 %lld\n",
+                    (long long)nr1, (long long)nr2);
+            return 1;
+        }
+        std::vector<int64_t> sbeg(64), send(64);
+        std::vector<double> sscore(64);
+        int64_t ns = ks_spans(seq.data(), n2 + rk - 1, rk, w2.data(), 0.0,
+                              8, 2.0, sbeg.data(), send.data(),
+                              sscore.data(), 64, nullptr);
+        if (ns != nr2) {
+            fprintf(stderr, "replay vs spans: %lld != %lld regions\n",
+                    (long long)nr2, (long long)ns);
+            return 1;
+        }
+        for (int64_t r = 0; r < ns; ++r) {
+            // stretch coords are offset by the k-1 halo vs sequence coords
+            if (rbeg[r] + rk - 1 != sbeg[r] || rend[r] + rk - 1 != send[r]
+                || rscore[r] != sscore[r]) {
+                fprintf(stderr, "replay region %lld: (%lld,%lld,%f) vs "
+                        "(%lld,%lld,%f)\n", (long long)r,
+                        (long long)rbeg[r], (long long)rend[r], rscore[r],
+                        (long long)sbeg[r], (long long)send[r], sscore[r]);
+                return 1;
+            }
+        }
+        printf("replay selftest ok: %lld region(s)\n", (long long)nr2);
+    }
+
     printf("selftest ok: %lld region(s), scan counts %lld\n",
            (long long)nr,
            (long long)(sc[0] + sc[1] + sc[2] + sc[3]));

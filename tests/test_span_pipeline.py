@@ -144,12 +144,21 @@ def test_host_rank_chain_bit_identical_to_oracle():
 
 
 @pytest.mark.parametrize("k", [4, 8, 11])
-def test_lazy_codes_native_replay_matches_numpy(k):
+@pytest.mark.parametrize("use_native", [True, False])
+def test_lazy_codes_native_replay_matches_numpy(k, use_native, monkeypatch):
     """finish_spans over the lazy packed payload (native C replay when
-    available, per-stretch numpy rebuild otherwise) must equal the eager
-    numpy path exactly — spans AND f64 scores."""
+    use_native, per-stretch numpy rebuild otherwise) must equal the eager
+    numpy path exactly — spans AND f64 scores.  use_native=False forces
+    the pure-numpy lazy fallback branch by monkeypatching
+    native.available; use_native=True skips (not fails) where the .so
+    genuinely cannot be built."""
     from kmer_spans_tpu.spans.pipeline import unpack_outputs
     from kmer_spans_tpu.utils import native
+
+    if use_native and not native.available():
+        pytest.skip("native library unavailable (no C++ toolchain)")
+    if not use_native:
+        monkeypatch.setattr(native, "available", lambda: False)
 
     rng = np.random.default_rng(31 + k)
     seq = random_seq(rng, 60_000, n_prob=0.004)
@@ -175,7 +184,6 @@ def test_lazy_codes_native_replay_matches_numpy(k):
     r_lazy = finish_spans(lazy, n, 0.72, 30, 5.0, block=block)
     assert r_eager.regions == r_lazy.regions
     assert len(r_lazy.regions) >= 2
-    assert native.available()  # the lazy path above exercised the C replay
     # and both must match the sequential oracle
     expect = _chain_rank_regions(seq, k, 0.72, 30, 5.0)
     assert [(r[1], r[2], r[3]) for r in r_lazy.regions] == \
