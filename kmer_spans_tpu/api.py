@@ -374,10 +374,19 @@ def _low_comp_fast(packed, k, min_w, min_score, thr, block=8192,
         pos += p.n
     fn = make_span_pipeline(k, block=block, cand_blocks=cand_blocks)
     out = fn(jnp.asarray(arr), jnp.float32(thr))
-    res = finish_spans(out, npad, thr, min_w, min_score, block=block)
+    counts_host = None
+    if out["counts"] is None:
+        # k >= 10 sort screen: no device spectrum — recount on the host
+        # (native C when available, numpy fallback)
+        from .utils import native
+
+        counts_host, _ = native.host_spectrum(arr, k)
+    res = finish_spans(out, npad, thr, min_w, min_score, block=block,
+                       counts=counts_host)
     if res.fallback:
         return None
-    counts = np.asarray(out["counts"]).astype(np.int64)
+    counts = (np.asarray(out["counts"]) if counts_host is None
+              else np.asarray(counts_host)).astype(np.int64)
     total = int(np.asarray(out["total"]))
     regions = []
     for _, beg, end, score in res.regions:

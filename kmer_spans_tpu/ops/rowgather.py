@@ -1,0 +1,91 @@
+"""Row-gather screen: per-position rank classes from a PRECOMPUTED table
+at any k, ~3x faster than XLA's scalar gather.
+
+The streaming pipeline's pass B screens each chunk against the GLOBAL
+spectrum, so the sort screen (chunk-local run lengths) does not apply —
+it needs a real per-position table lookup.  XLA's scalar gather costs
+~8.8 ns/element on v5e regardless of table size, but gathering whole
+(1, 128) int8 ROWS measures 2.8 ns/element including the consumer pass
+(benchmarks/k12_gather_lab.py: ``row8``): the per-index overhead is the
+wall, so each index must fetch a full lane row.  The lane select then
+runs as a fused compare+mask+max over the gathered rows — NOT
+take_along_axis, whose XLA lowering is another scalar gather (measured
+15 ns/element, ``rowsel8``).
+
+Table entries are 8-BIT rank classes (256 levels, uint8): finer than the
+k <= 9 4-bit class screen (less candidate drift) while keeping rows at
+128 bytes.  Soundness is the standard family: class upper edge
+(cls+1)/256 >= the f32 rank used to build the table, one rounding
+covered by the +3/-1 slack (ops/gather.py class_scores_int derivation
+with unit = SCREEN_SCALE/256).
+
+Reference parity: the rank lookup feeding kmer_regions
+(src/kmer_spans.c:268), as a sound screen against the global spectrum;
+candidates replay exactly on the host from int64 mass.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .gather import SCREEN_SCALE
+
+#: 8-bit classes: 256 levels
+ROW_LEVELS = 256
+_UNIT = SCREEN_SCALE // ROW_LEVELS
+_LANES = 128
+#: slab the (n, 128) gathered-rows intermediate to ~0.5 GB
+_SLAB = 1 << 22
+
+
+def host_row_table(mass: np.ndarray, total: int) -> np.ndarray:
+    """(4^k/128, 128) uint8 class table from exact int64 mass, on the host.
+
+    class[c] = clip(floor(rank_f32 * 256), 0, 255) with
+    rank = mass/total in f32 — the same one-f32-rounding-slack family as
+    ops.gather.class_table_from_mass, at 256 levels.
+    """
+    rank = mass.astype(np.float32) / np.float32(max(total, 1))
+    cls = np.clip((rank * ROW_LEVELS).astype(np.int32), 0, ROW_LEVELS - 1)
+    return cls.astype(np.uint8).reshape(-1, _LANES)
+
+
+def row_classes(tab2d, codes_flat):
+    """Gather per-position classes: tab2d uint8 [4^k/128, 128],
+    codes int32 [n] (in [0, 4^k)) -> uint8 [n].
+
+    Row gather + fused lane select (compare/mask/max — single pass over
+    the (slab, 128) rows, no second gather).  Slabbed via lax.map so the
+    intermediate stays bounded at any chunk size.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    n = codes_flat.shape[0]
+    iota = jnp.arange(_LANES, dtype=jnp.int32)[None, :]
+
+    def body(c):
+        rows = tab2d[c >> 7]                     # (m, 128) uint8
+        lane = (c & (_LANES - 1))[:, None]
+        return jnp.max(
+            jnp.where(lane == iota, rows, jnp.uint8(0)), axis=1)
+
+    if n <= _SLAB:
+        return body(codes_flat)
+    slab = _SLAB
+    while n % slab:
+        slab //= 2
+    return jax.lax.map(
+        body, codes_flat.reshape(n // slab, slab)).reshape(-1)
+
+
+def row_screen_scores(tab2d, codes_flat, thr_q):
+    """Integer upper-bound screen scores via the row-gather classes.
+
+    s_int = (cls+1)*unit + 3 - thr_q >= SCREEN_SCALE*(rank - thr), the
+    class_scores_int derivation at 256 levels.
+    """
+    import jax.numpy as jnp
+
+    cls = row_classes(tab2d, codes_flat).astype(jnp.int32)
+    return (cls + 1) * _UNIT + 3 - thr_q

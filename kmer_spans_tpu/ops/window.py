@@ -56,7 +56,8 @@ def blocked_prefix_sum(x2d: jax.Array, rows_per_step: int = 64):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "window", "with_positions")
+    jax.jit,
+    static_argnames=("k", "window", "with_positions", "start_limit"),
 )
 def windowed_counts_device(
     codes2d: jax.Array,
@@ -66,16 +67,22 @@ def windowed_counts_device(
     k: int,
     window: int,
     with_positions: bool = False,
+    start_limit: int | None = None,
 ):
     """Per-window occurrence counts + distributions for tracked k-mers.
 
     codes2d/kmer_valid2d: end-position blocked codes ([nb, B]).
     valid2d: non-N mask. tracked: [n_tracked] int32 codes.
     Returns (dist [window+1, n_tracked] int32,
-             counts_pos [n_tracked, n] int32 or None,
+             counts_pos [n_tracked, n] int16 or None,
              window_valid [n] bool) — counts_pos[w, t] is the count for the
     window starting at t (0 where invalid), matching the reference's
     kmer_counts_pos matrices.
+
+    start_limit: treat window starts >= this position as invalid — the
+    chunked streaming engine (parallel/window_stream.py) feeds each chunk
+    with a ``window``-base lookahead and masks starts beyond the chunk so
+    every window is counted exactly once across chunks.
     """
     from .pallas_kernels import pallas_histogram
 
@@ -89,6 +96,8 @@ def windowed_counts_device(
     RB = min(1 << 16, n)
     if window > RB:
         raise ValueError("window larger than the group width")
+    if with_positions and window + 2 > 32767:
+        raise ValueError("positions matrix is int16; window too large")
     pad = (-n) % RB
     if pad:
         flat_c = jnp.concatenate([flat_c, jnp.zeros((pad,), flat_c.dtype)])
@@ -109,7 +118,7 @@ def windowed_counts_device(
     tr = tracked.astype(flat_c.dtype).reshape(T, 1)
 
     def body(_, xs):
-        c, kvx, vx = xs                           # [RB+window]
+        c, kvx, vx, g = xs                        # [RB+window], group idx
         occ = ((c[None, :] == tr) & kvx[None, :]).astype(jnp.int32)
         S = jnp.cumsum(occ, axis=1)
         Sx = jnp.concatenate(
@@ -121,10 +130,14 @@ def windowed_counts_device(
         Pi = jnp.concatenate(
             [jnp.zeros((1,), jnp.int32), jnp.cumsum(inv)])
         wv = (Pi[window:window + RB] - Pi[0:RB]) == 0
+        if start_limit is not None:
+            pos = g * RB + jnp.arange(RB, dtype=jnp.int32)
+            wv = wv & (pos < start_limit)
         cnt = jnp.where(wv[None, :], cnt, 0)
         return None, (cnt.astype(jnp.int16), wv)
 
-    _, (cnts, wvs) = jax.lax.scan(body, None, (ec, ekv, ev))
+    _, (cnts, wvs) = jax.lax.scan(
+        body, None, (ec, ekv, ev, jnp.arange(G, dtype=jnp.int32)))
     cnt_all = cnts.transpose(1, 0, 2).reshape(T, -1)[:, :n]
     window_valid = wvs.reshape(-1)[:n]
 
@@ -137,5 +150,7 @@ def windowed_counts_device(
         comb, jnp.broadcast_to(window_valid[None, :], comb.shape), size)
     dist = dist_flat[:T * W2].reshape(T, W2)[:, :window + 1].T
 
-    counts_pos = cnt_all.astype(jnp.int32) if with_positions else None
+    # int16 positions matrix: counts <= window-k+2 (guarded by the RB
+    # check above, window <= 65536 => fits) — half the D2H bytes of int32
+    counts_pos = cnt_all if with_positions else None
     return dist, counts_pos, window_valid

@@ -68,30 +68,26 @@ def device_codes_scored(p: PackedSeq, k: int):
 
 def device_window_dist(p: PackedSeq, tracked, k: int, window: int,
                        with_positions: bool, block: int = 8192):
-    """Windowed k-mer distributions for one sequence (ops/window.py)."""
-    import jax.numpy as jnp
+    """Windowed k-mer distributions for one sequence, via the chunked
+    streaming engine (parallel/window_stream.py): one compiled program
+    per (k, window, T, chunk) whatever the sequence lengths, uint8/int16
+    packed positions pulled per chunk under the next chunk's compute.
 
-    from ..ops.blocked import blocked_codes
-    from ..ops.window import windowed_counts_device
+    The chunk is the sequence length rounded up to a power of two
+    (clamped to [2^15, 2^22]) so a many-scaffold workload shares a
+    handful of programs at most — and any scaffold > 4 Mb shares ONE.
+    """
+    from .window_stream import get_engine
 
-    npad = -(-p.n // block) * block
-    b = np.zeros(npad, dtype=np.uint8)
-    b[: p.n] = p.bases
-    v = np.zeros(npad, dtype=bool)
-    v[: p.n] = p.valid
-    b2 = jnp.asarray(b).reshape(-1, block).astype(jnp.int32)
-    v2 = jnp.asarray(v).reshape(-1, block)
-    codes, kv = blocked_codes(b2, v2, k)
-    codes = jnp.where(kv, codes, 0)
-    tr = jnp.asarray(np.asarray(tracked, dtype=np.int32))
-    dist, cpos, _ = windowed_counts_device(
-        codes, kv, v2, tr, k, window, with_positions=with_positions
-    )
-    dist_np = np.asarray(dist).astype(np.int64)
-    cpos_np = None
-    if with_positions:
-        cpos_np = np.asarray(cpos)[:, : p.n].T.astype(np.int64)
-    return dist_np, cpos_np
+    nb = p.bases.copy()
+    nb[~p.valid] = 4
+    chunk = 1 << 15
+    while chunk < p.n and chunk < (1 << 22):
+        chunk *= 2
+    eng = get_engine(k, window, len(tracked), chunk, block)
+    dist, cpos = eng.run(nb, np.asarray(tracked, dtype=np.int32),
+                         with_positions)
+    return dist, cpos
 
 
 def device_tr_regions(p: PackedSeq, k: int, ks: np.ndarray, ts: np.ndarray,
@@ -101,17 +97,19 @@ def device_tr_regions(p: PackedSeq, k: int, ks: np.ndarray, ts: np.ndarray,
 
     Candidate blocks pull their CODES; the host replays them from the
     original f64 tables, so emitted positions and scores are bit-identical
-    to the reference (src/kmer_spans.c:329-395).  The device's screening
-    tables are f32 rounded UP (toward +inf), so table quantization can
-    only extend positive runs — screening stays conservative; only
-    sub-2^-24-relative knife edges of the f32 scan itself could hide an
-    excursion (flagged nowhere in practice; use backend="host" to avoid
-    screening entirely).
+    to the reference (src/kmer_spans.c:329-395).  Screening is INTEGER-
+    sound end to end: tables quantized up to int32
+    (quantize_tr_tables), per-block int32 summaries, exact int64 host
+    composition — no f32 knife edges anywhere in candidacy.
     Returns (regions, fallback).
     """
     import jax.numpy as jnp
 
-    from ..spans.tr_pipeline import finish_tr_spans, make_tr_pipeline
+    from ..spans.tr_pipeline import (
+        finish_tr_spans,
+        make_tr_pipeline,
+        quantize_tr_tables,
+    )
 
     nb = p.bases.copy()
     nb[~p.valid] = 4
@@ -119,14 +117,13 @@ def device_tr_regions(p: PackedSeq, k: int, ks: np.ndarray, ts: np.ndarray,
     arr = np.full(npad, 4, np.uint8)
     arr[: p.n] = nb
 
-    def up32(t):
-        t32 = t.astype(np.float32)
-        low = t32.astype(np.float64) < t
-        t32[low] = np.nextafter(t32[low], np.float32(np.inf))
-        return t32
-
-    fn = make_tr_pipeline(k, block=block, cand_blocks=cand_blocks)
-    out = fn(jnp.asarray(arr), jnp.asarray(up32(ks)), jnp.asarray(up32(ts)))
+    ks_q, ts_q, _ = quantize_tr_tables(ks, ts, block)
+    pipe = make_tr_pipeline(k, block=block, cand_blocks=cand_blocks)
+    dev = jnp.asarray(arr)
+    ksq_dev, tsq_dev = jnp.asarray(ks_q), jnp.asarray(ts_q)
+    out = pipe.summaries(dev, ksq_dev, tsq_dev)
     res = finish_tr_spans(out, npad, min_length, ks, ts, block=block,
-                          seq_id=seq_id)
+                          seq_id=seq_id, pipe=pipe, nbases_dev=dev,
+                          ks_q_dev=ksq_dev, ts_q_dev=tsq_dev,
+                          cand_blocks=cand_blocks)
     return res.regions, res.fallback

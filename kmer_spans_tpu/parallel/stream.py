@@ -9,9 +9,11 @@ chunk) config, however large the genome):
   * scan_chunk(nbases, screen_tab, ...)  -> integer block summaries +
                                             candidate/margin code gathers
 
-The scan gathers ONLY from a small quantized rank-class table
-(ops/gather.py): 4-bit packed words through the enumerated Pallas kernel
-for k <= 9, an int16 4096-level table above.  The EXACT rank mass lives
+The scan gathers ONLY from a quantized rank-class table: 4-bit packed
+words through the enumerated Pallas kernel for k <= 9 (ops/gather.py),
+a uint8 256-level row-gather table above (ops/rowgather.py — whole
+(1,128) rows per index + fused lane select, ~3x XLA's scalar gather at
+any table size).  The EXACT rank mass lives
 on the host in int64 (stats.ranks.cumulative_mass — the analog of the
 reference's f64 rank chain, src/kmer_spans.c:189-202, valid past 2^31
 k-mers); candidates are replayed from host mass via their pulled codes,
@@ -111,7 +113,6 @@ class StreamingSpanPipeline:
             CLASS_LEVELS,
             PALLAS_CLASS_MAX_K,
             class_scores_int,
-            fine_scores_int,
             pallas_word_gather,
             prerolled_table,
             screen_thr_q,
@@ -220,7 +221,10 @@ class StreamingSpanPipeline:
                 tA, tB, maxA, maxB = blocked_scan_summaries_int(
                     s_int, scored)
             else:
-                s_int = fine_scores_int(tab[codes], thr_q)
+                from ..ops.rowgather import row_screen_scores
+
+                s_int = row_screen_scores(
+                    tab, codes.reshape(-1), thr_q).reshape(nb, block)
                 tA, tB, maxA, maxB = blocked_scan_summaries_int(
                     s_int, scored)
             # f32 composition orders the top-C gather only (host re-does
@@ -342,9 +346,13 @@ class StreamingSpanPipeline:
     def _screen_table(self, mass: np.ndarray, total: int):
         import jax.numpy as jnp
 
+        from ..ops.rowgather import host_row_table
+
         if self._use_class:
             return jnp.asarray(host_class_words(mass, total))
-        return jnp.asarray(host_fine_table(mass, total))
+        # k >= 10: uint8 row table for the row-gather screen (~3x the
+        # int16 fine table's XLA scalar gather; ops/rowgather.py)
+        return jnp.asarray(host_row_table(mass, total))
 
     def _unpack_summary(self, vec):
         v = np.asarray(vec)

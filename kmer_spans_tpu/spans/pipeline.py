@@ -74,11 +74,15 @@ def make_span_pipeline(
     k <= FUSED_CLASS_MAX_K and block >= 1024 the gather AND the scan
     summaries run in ONE fused Pallas kernel (ops/screen_scan.py,
     0.23 ns/element vs 0.88 + 0.32 for the round-2 three-pass form),
-    otherwise the fori-loop word-gather kernel.  "fine" — int16
-    4096-level table via XLA gather (any k).  "auto" — class for
-    k <= PALLAS_CLASS_MAX_K, else fine.  All yield integer upper-bound
-    scores; exact spans always come from the finisher's rank-chain
-    replay.
+    otherwise the fori-loop word-gather kernel.  "sort" — the k >= 10
+    sort-based screen (ops/sortscreen.py): positions sort by code, run
+    lengths give exact per-position counts, classes come from a
+    count-value rank-upper-bound table — no 4^k table, no count
+    scatter, no device argsort (~3x the fine screen at k=12).  "fine" —
+    int16 4096-level table via XLA gather (any k; kept for streaming
+    parity tests).  "auto" — class for k <= PALLAS_CLASS_MAX_K, else
+    sort.  All yield integer upper-bound scores; exact spans always
+    come from the finisher's rank-chain replay.
 
     class_bits (class screen only): 4 (default) or 2 — 2-bit classes
     halve the fused kernel's table rows (~2x screen throughput), still
@@ -134,9 +138,15 @@ def make_span_pipeline(
     from ..parallel.pipeline import _rank_mass
 
     if screen == "auto":
-        screen = "class" if k <= PALLAS_CLASS_MAX_K else "fine"
-    if packed and k > 13:
-        raise ValueError("packed mode supports k <= 13 (host mass rebuild)")
+        screen = "class" if k <= PALLAS_CLASS_MAX_K else "sort"
+    if screen == "sort" and packed_counts:
+        # the sort screen never materializes a 4^k spectrum on device;
+        # the finisher replays from a host recount (utils.native)
+        packed_counts = False
+    if packed and packed_counts and k > 13:
+        raise ValueError(
+            "packed_counts requires k <= 13 (device spectrum pull); use "
+            "packed_counts=False + host recount for larger k")
     will_fuse = (
         screen == "class" and 4 <= k <= FUSED_CLASS_MAX_K and block >= 1024
     )
@@ -195,6 +205,16 @@ def make_span_pipeline(
                 tabR, aug.reshape(-1), thr_q, class_bits=class_bits,
                 block=block, sub_blocks=sb)
             codes = aug  # candidate rows are masked after the gather
+        elif screen == "sort":
+            from ..ops.sortscreen import sort_screen_scores
+
+            counts = None
+            s_int, total_kmers = sort_screen_scores(
+                codes.reshape(-1), kmer_valid.reshape(-1),
+                scored.reshape(-1), k, thr_q)
+            codes = codes.reshape(nb, block)
+            s_int = s_int.reshape(nb, block)
+            tA, tB, maxA, maxB = blocked_scan_summaries_int(s_int, scored)
         else:
             if 4 <= k <= PALLAS_COUNT_MAX_K:
                 counts = pallas_count_spectrum(
@@ -217,6 +237,8 @@ def make_span_pipeline(
             codes = codes.reshape(nb, block)
             s_int = s_int.reshape(nb, block)
             tA, tB, maxA, maxB = blocked_scan_summaries_int(s_int, scored)
+        if counts is not None:
+            total_kmers = jnp.sum(counts)
         block_max, block_last = compose_summaries_f32(tA, tB, maxA, maxB)
         # positive-run segmentation over blocks: a block chains to the
         # previous one if S was positive crossing the boundary
@@ -241,7 +263,7 @@ def make_span_pipeline(
         if not packed:
             return {
                 "counts": counts,
-                "total": jnp.sum(counts),
+                "total": total_kmers,
                 "tA": tA,
                 "tB": tB,
                 "maxA": maxA,
@@ -282,7 +304,7 @@ def make_span_pipeline(
             [counts.reshape(-1).astype(jnp.int32)] if packed_counts else []
         )
         return jnp.concatenate(counts_part + [
-            jnp.sum(counts).reshape(1).astype(jnp.int32),
+            total_kmers.reshape(1).astype(jnp.int32),
             tA.astype(jnp.int32),
             tB.astype(jnp.int32),
             maxA.astype(jnp.int32),
@@ -301,6 +323,9 @@ def make_span_pipeline(
             return jitted(nbases, thr)
 
         fn.packed_bases = packed_bases
+    # the resolved flag (sort screen forces it off): pass to unpack_outputs
+    fn.packed_counts = packed_counts
+    fn.screen = screen
     return fn
 
 
@@ -732,12 +757,38 @@ def finish_spans(
             "finish_spans needs exact counts: pipeline ran with "
             "packed_counts=False — pass counts= (host recount)")
     # bit-identical replay scores: gather the reference's f64 rank CHAIN
-    ranks = host_rank_chain(counts, total)
-    k = (len(ranks).bit_length() - 1) // 2  # len(ranks) == 4^k
+    from ..utils import native
+
+    size = len(counts)
+    k = (size.bit_length() - 1) // 2  # len(counts) == 4^k
+    ranks = None
+    rank_lookup = None
+    if size > (1 << 26) and native.available():
+        # k >= 14: a 4^k f64 chain table is 2-8 GB and its argsort tens of
+        # seconds — instead compute exact chain ranks for just the
+        # candidate codes (native mass pass + streamed value-hist fold;
+        # bit-identical, tests/test_native.py)
+        if codes is None:
+            rows_all = sorted(
+                {pos_in_pull[b] for b in np.nonzero(cand)[0]})
+            cw_all = rebuild_codes(cand_words[rows_all], k, block)
+            codes = np.zeros((scored.shape[0], block), np.int64)
+            codes[rows_all] = cw_all
+        uniq = np.unique(np.asarray(codes)[scored])
+        pm, vv, vn = native.mass_of_codes(counts, uniq)
+        from ..stats.ranks import chain_ranks_from_mass
+
+        ranks_u = chain_ranks_from_mass(pm, (vv, vn), total)
+
+        def rank_lookup(c_flat):
+            # junk (unscored) codes may miss uniq: clip — callers mask
+            idx = np.minimum(np.searchsorted(uniq, c_flat),
+                             max(len(uniq) - 1, 0))
+            return ranks_u[idx]
+    else:
+        ranks = host_rank_chain(counts, total)
     use_native = False
     if codes is None:
-        from ..utils import native
-
         use_native = native.available()
         if not use_native:
             codes = rebuild_codes(cand_words, k, block)
@@ -767,7 +818,9 @@ def finish_spans(
         else:
             c_flat = codes[rows].reshape(-1)
             sc_flat = sc_rows.reshape(-1)
-            s_flat = np.where(sc_flat, ranks[c_flat] - thr, 0.0)
+            pos_ranks = (rank_lookup(c_flat) if rank_lookup is not None
+                         else ranks[c_flat])
+            s_flat = np.where(sc_flat, pos_ranks - thr, 0.0)
             regions.extend(
                 _replay_stretch(
                     s_flat, sc_flat, base_pos, min_width, min_score,

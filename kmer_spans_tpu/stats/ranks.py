@@ -63,14 +63,26 @@ def chain_ranks_from_mass(
     Memory is O(#nonzero-count codes) per chunk (the fold is streamed),
     never O(4^k): this is the single-chip answer for k >= 13 replay and
     the sharded finisher's bit-identity path.
+
+    value_hist may also be a SPARSE (v_vals, n_codes) tuple — distinct
+    count values ascending plus their code multiplicities (the native
+    ks_mass_of_codes output; a dense array would need max(count) entries,
+    unbounded for repeat-heavy genomes).
     """
-    value_hist = np.asarray(value_hist, dtype=np.int64)
     pm = np.asarray(pm, dtype=np.int64)
-    v_vals = np.nonzero(value_hist[1:])[0] + 1  # count values present, asc
-    gmass = value_hist[v_vals]
-    h = gmass // v_vals  # codes per group
-    if (h * v_vals != gmass).any():
-        raise ValueError("value_hist is not a mass histogram")
+    if isinstance(value_hist, tuple):
+        v_vals = np.asarray(value_hist[0], dtype=np.int64)
+        h = np.asarray(value_hist[1], dtype=np.int64)
+        keep = v_vals > 0
+        v_vals, h = v_vals[keep], h[keep]
+        gmass = v_vals * h
+    else:
+        value_hist = np.asarray(value_hist, dtype=np.int64)
+        v_vals = np.nonzero(value_hist[1:])[0] + 1  # values present, asc
+        gmass = value_hist[v_vals]
+        h = gmass // v_vals  # codes per group
+        if (h * v_vals != gmass).any():
+            raise ValueError("value_hist is not a mass histogram")
     below = np.concatenate([[0], np.cumsum(gmass)[:-1]])  # mass before group
     nnz_before = np.concatenate([[0], np.cumsum(h)[:-1]])
     g = np.searchsorted(below, pm, side="right") - 1

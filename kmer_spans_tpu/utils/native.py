@@ -56,6 +56,15 @@ def _load():
             ctypes.c_int64, ctypes.c_double, ctypes.c_int64,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_int64]
+        lib.ks_count_mt.restype = ctypes.c_int64
+        lib.ks_count_mt.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32,
+            ctypes.c_void_p, ctypes.c_int32]
+        lib.ks_mass_of_codes.restype = ctypes.c_int64
+        lib.ks_mass_of_codes.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int64]
         _lib = lib
     except Exception:
         _lib = None
@@ -86,6 +95,66 @@ def count_spectrum(nbases: np.ndarray, k: int) -> tuple[np.ndarray, int] | None:
     counts = np.zeros(1 << (2 * k), dtype=np.int32)
     n = lib.ks_count(nbases.ctypes.data, nbases.shape[0], k, counts.ctypes.data)
     return counts.astype(np.int64), int(n)
+
+
+def host_spectrum(
+    nbases: np.ndarray, k: int, threads: int = 0,
+) -> tuple[np.ndarray, int]:
+    """Host spectrum from nbases (N == 4): native C when available,
+    vectorized numpy otherwise.  The k >= 10 span pipelines replay
+    candidates from this recount instead of pulling 4^k device words
+    through the tunnel (spans/pipeline.py packed_counts=False).
+
+    threads=0 picks min(os.cpu_count(), 4); >1 uses the code-space-
+    partitioned multithreaded native counter (shared table, disjoint
+    writes).  Returns (counts, n_words); counts int32 for k >= 14 (the
+    4^k table is 4 GB at k=15 — int64 would double it), int64 below.
+    """
+    lib = _load()
+    if lib is not None:
+        if threads == 0:
+            threads = min(os.cpu_count() or 1, 4)
+        nbases = np.ascontiguousarray(nbases, dtype=np.uint8)
+        counts = np.zeros(1 << (2 * k), dtype=np.int32)
+        n = lib.ks_count_mt(nbases.ctypes.data, nbases.shape[0], k,
+                            counts.ctypes.data, threads)
+        if k < 14:
+            counts = counts.astype(np.int64)
+        return counts, int(n)
+    from ..encoding import PackedSeq, kmer_codes_np
+
+    nbases = np.asarray(nbases, dtype=np.uint8)
+    p = PackedSeq(bases=nbases & 3, valid=nbases < 4)
+    codes, kv = kmer_codes_np(p, k)
+    counts = np.bincount(
+        codes[kv], minlength=1 << (2 * k)).astype(np.int64)
+    return counts, int(kv.sum())
+
+
+def mass_of_codes(counts: np.ndarray, qcodes: np.ndarray):
+    """Exact integer mass + sparse value histogram for sorted unique
+    query codes (the k >= 14 replay path — no 4^k f64 rank table).
+
+    Returns (pm int64 [nq], v_vals int64 asc, v_ncodes int64) or None if
+    native is unavailable.  counts must be int32-compatible.
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    counts = np.ascontiguousarray(counts, dtype=np.int32)
+    q = np.ascontiguousarray(qcodes, dtype=np.int64)
+    pm = np.empty(q.shape[0], dtype=np.int64)
+    cap = 1 << 16
+    while True:
+        vv = np.empty(cap, dtype=np.int64)
+        vn = np.empty(cap, dtype=np.int64)
+        nvals = lib.ks_mass_of_codes(
+            counts.ctypes.data, counts.shape[0], q.ctypes.data,
+            q.shape[0], pm.ctypes.data, vv.ctypes.data, vn.ctypes.data,
+            cap)
+        if nvals <= cap:
+            return pm, vv[:nvals], vn[:nvals]
+        cap = int(nvals) + 16
 
 
 def replay_packed(

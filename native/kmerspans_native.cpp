@@ -274,3 +274,123 @@ int64_t ks_pack_fasta_body(const uint8_t* in, int64_t n, uint8_t* out) {
 }
 
 }  // extern "C"
+
+#include <thread>
+#include <unordered_map>
+#include <algorithm>
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// Multithreaded spectrum count: threads partition the CODE space (each
+// walks the whole genome but increments only codes whose top bits fall in
+// its partition) — one shared table, disjoint writes, no merge, no extra
+// tables.  The rolling-code walk is cheap; the table's random-access
+// misses are what parallelize.  Returns total words counted.
+// ---------------------------------------------------------------------------
+int64_t ks_count_mt(const uint8_t* nb, int64_t n, int32_t k,
+                    int32_t* counts, int32_t nthreads) {
+    if (nthreads <= 1) return ks_count(nb, n, k, counts);
+    const uint64_t mask = (1ull << (2 * k)) - 1;
+    const uint64_t size = 1ull << (2 * k);
+    std::vector<int64_t> words_t(nthreads, 0);
+    std::vector<std::thread> ths;
+    for (int32_t t = 0; t < nthreads; ++t) {
+        uint64_t lo = size / nthreads * t;
+        uint64_t hi = (t == nthreads - 1) ? size : size / nthreads * (t + 1);
+        ths.emplace_back([=, &words_t]() {
+            int64_t w = 0;
+            int64_t i = 0;
+            while (i < n) {
+                while (i < n && nb[i] == 4) ++i;
+                uint64_t off = 0;
+                int32_t have = 0;
+                while (i < n && nb[i] != 4) {
+                    off = ((off << 2) | nb[i]) & mask;
+                    ++i;
+                    if (++have >= k && off >= lo && off < hi) {
+                        ++counts[off];
+                        ++w;
+                    }
+                }
+            }
+            words_t[t] = w;
+        });
+    }
+    int64_t words = 0;
+    for (auto& th : ths) th.join();
+    for (int32_t t = 0; t < nthreads; ++t) words += words_t[t];
+    return words;
+}
+
+// ---------------------------------------------------------------------------
+// Exact integer mass (rank numerator) for SORTED UNIQUE query codes,
+// plus the count-value histogram — the k >= 14 replay path: the host
+// never materializes a 4^k f64 rank table (8 GB at k=15); instead
+// stats.ranks.chain_ranks_from_mass folds the (sparse) value histogram
+// and each query's mass locates its fold position exactly
+// (src/kmer_spans.c:189-202 semantics: stable sort by count then index).
+//
+//   mass(q) = below(v) + v * eqbelow(q),   v = counts[q]
+//   below(v) = total mass at count values < v
+//   eqbelow(q) = # codes with count v and index < q
+//
+// Pass 1 builds the value histogram (dense below VCAP, hash map above);
+// pass 2 walks codes up to the last query maintaining per-value running
+// counters.  vh_vals/vh_ncodes receive the distinct count values (asc)
+// and their code multiplicities; the return value is the number of
+// distinct values (caller retries with larger cap if return > cap; pm
+// is always fully written).
+// ---------------------------------------------------------------------------
+int64_t ks_mass_of_codes(const int32_t* counts, int64_t size,
+                         const int64_t* q, int64_t nq, int64_t* pm,
+                         int64_t* vh_vals, int64_t* vh_ncodes,
+                         int64_t cap) {
+    const int64_t VCAP = 1 << 16;
+    std::vector<int64_t> dense(VCAP, 0);
+    std::unordered_map<int64_t, int64_t> sparse;
+    for (int64_t c = 0; c < size; ++c) {
+        int64_t v = counts[c];
+        if (v <= 0) { if (v == 0) ++dense[0]; continue; }
+        if (v < VCAP) ++dense[v]; else ++sparse[v];
+    }
+    std::vector<int64_t> vals;
+    for (int64_t v = 0; v < VCAP; ++v)
+        if (dense[v] > 0) vals.push_back(v);
+    for (auto& kv : sparse) vals.push_back(kv.first);
+    std::sort(vals.begin(), vals.end());
+    // below(v): cumulative mass of values strictly below v
+    std::unordered_map<int64_t, int64_t> below;
+    {
+        int64_t acc = 0;
+        for (int64_t v : vals) {
+            below[v] = acc;
+            int64_t ncodes = (v < VCAP) ? dense[v] : sparse[v];
+            acc += v * ncodes;
+        }
+    }
+    // pass 2: eqbelow via running per-value counters, queries in order
+    std::vector<int64_t> run_dense(VCAP, 0);
+    std::unordered_map<int64_t, int64_t> run_sparse;
+    int64_t c = 0;
+    for (int64_t i = 0; i < nq; ++i) {
+        int64_t qq = q[i];
+        for (; c < qq; ++c) {
+            int64_t v = counts[c];
+            if (v <= 0) continue;
+            if (v < VCAP) ++run_dense[v]; else ++run_sparse[v];
+        }
+        int64_t v = counts[qq];
+        int64_t eq = (v < VCAP) ? run_dense[v] : run_sparse[v];
+        pm[i] = (v > 0 ? below[v] : 0) + v * eq;
+    }
+    int64_t nvals = (int64_t)vals.size();
+    for (int64_t i = 0; i < nvals && i < cap; ++i) {
+        int64_t v = vals[i];
+        vh_vals[i] = v;
+        vh_ncodes[i] = (v < VCAP) ? dense[v] : sparse[v];
+    }
+    return nvals;
+}
+
+}  // extern "C"

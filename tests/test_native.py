@@ -117,3 +117,41 @@ def test_sanitizer_selftest():
         pytest.skip("sanitizer toolchain unavailable")
     assert r.returncode == 0, r.stdout + r.stderr
     assert "selftest ok" in r.stdout
+
+
+def test_count_mt_matches_single_thread():
+    """Code-space-partitioned multithreaded count == sequential count."""
+    if not native.available():
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(5)
+    nb = rng.integers(0, 4, size=300_000, dtype=np.uint8)
+    nb[40_000:40_100] = 4  # N gap
+    for k in [2, 8, 13]:
+        c1, n1 = native.count_spectrum(nb, k)
+        c2, n2 = native.host_spectrum(nb, k, threads=3)
+        assert n1 == n2
+        assert np.array_equal(np.asarray(c1), np.asarray(c2))
+
+
+def test_mass_of_codes_matches_oracle_chain():
+    """Native per-code mass + sparse value hist reproduce the reference's
+    f64 rank chain BIT-IDENTICALLY through chain_ranks_from_mass — the
+    k >= 14 replay path that never builds a 4^k rank table."""
+    if not native.available():
+        pytest.skip("native library unavailable")
+    from kmer_spans_tpu.stats.ranks import chain_ranks_from_mass
+
+    rng = np.random.default_rng(6)
+    size = 4096  # k=6
+    counts = rng.integers(0, 30, size=size).astype(np.int32)
+    counts[rng.integers(0, size, 100)] = 0          # zero-count ties
+    counts[7] = 2_000_000                            # heavy value (> VCAP
+    counts[11] = 2_000_000                           # dense range) twice
+    total = int(counts.sum())
+    ranks = weighted_ranks(counts.astype(np.int64), float(total))
+    q = np.unique(rng.integers(0, size, 500))
+    pm, vv, vn = native.mass_of_codes(counts, q)
+    got = chain_ranks_from_mass(pm, (vv, vn), total)
+    assert np.array_equal(got, ranks[q])
+    # value hist is consistent: code multiplicities sum to 4^k
+    assert int(vn.sum()) == size

@@ -113,15 +113,25 @@ def test_packed_outputs_match_dict(k):
     fn_d = make_span_pipeline(k, block=block, cand_blocks=cand)
     fn_p = make_span_pipeline(k, block=block, cand_blocks=cand, packed=True)
     thr = jnp.float32(0.75)
-    ref = {kk: np.asarray(v) for kk, v in fn_d(jnp.asarray(arr), thr).items()}
+    ref = {kk: None if v is None else np.asarray(v)
+           for kk, v in fn_d(jnp.asarray(arr), thr).items()}
     got = unpack_outputs(fn_p(jnp.asarray(arr), thr), k, n, block, cand,
-                         packed_bases=fn_p.packed_bases)
+                         packed_bases=fn_p.packed_bases,
+                         packed_counts=fn_p.packed_counts)
     assert fn_p.packed_bases
     for kk in ref:
+        if ref[kk] is None:
+            assert got[kk] is None, kk  # k >= 10 sort screen: no spectrum
+            continue
         assert np.array_equal(np.asarray(got[kk]), ref[kk]), kk
-    # and the finisher agrees end to end
-    r1 = finish_spans(ref, n, 0.75, 30, 5.0, block=block)
-    r2 = finish_spans(got, n, 0.75, 30, 5.0, block=block)
+    # and the finisher agrees end to end (host recount above k=9)
+    counts_host = None
+    if ref["counts"] is None:
+        from kmer_spans_tpu.oracle.reference import count_spectrum
+
+        counts_host, _ = count_spectrum(seq, k)
+    r1 = finish_spans(ref, n, 0.75, 30, 5.0, block=block, counts=counts_host)
+    r2 = finish_spans(got, n, 0.75, 30, 5.0, block=block, counts=counts_host)
     assert r1.regions == r2.regions and r1.fallback == r2.fallback
 
 
@@ -175,13 +185,24 @@ def test_lazy_codes_native_replay_matches_numpy(k, use_native, monkeypatch):
     fn = make_span_pipeline(k, block=block, cand_blocks=cand, packed=True)
     thr = jnp.float32(0.72)
     v = np.asarray(fn(jnp.asarray(arr), thr))
+    # k >= 10 resolves to the sort screen (no device spectrum): the
+    # finisher replays from a host recount, as production does
+    counts_host = None
+    if not fn.packed_counts:
+        from kmer_spans_tpu.oracle.reference import count_spectrum
+
+        counts_host, _ = count_spectrum(seq, k)
     eager = unpack_outputs(v, k, n, block, cand,
-                           packed_bases=fn.packed_bases)
+                           packed_bases=fn.packed_bases,
+                           packed_counts=fn.packed_counts)
     lazy = unpack_outputs(v, k, n, block, cand,
-                          packed_bases=fn.packed_bases, lazy_codes=True)
+                          packed_bases=fn.packed_bases,
+                          packed_counts=fn.packed_counts, lazy_codes=True)
     assert lazy["codes"] is None and lazy["cand_words"] is not None
-    r_eager = finish_spans(eager, n, 0.72, 30, 5.0, block=block)
-    r_lazy = finish_spans(lazy, n, 0.72, 30, 5.0, block=block)
+    r_eager = finish_spans(eager, n, 0.72, 30, 5.0, block=block,
+                           counts=counts_host)
+    r_lazy = finish_spans(lazy, n, 0.72, 30, 5.0, block=block,
+                          counts=counts_host)
     assert r_eager.regions == r_lazy.regions
     assert len(r_lazy.regions) >= 2
     # and both must match the sequential oracle

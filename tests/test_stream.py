@@ -131,3 +131,25 @@ def test_stream_64mb_matches_native():
             zip(beg, end, score)]
     assert got == want
     assert len(got) >= 5
+
+
+def test_stream_k11_rowgather_screen():
+    """k >= 10 streaming goes through the uint8 row-gather screen
+    (ops/rowgather.py); spans must match the oracle across chunk
+    boundaries exactly like the k <= 9 class screen."""
+    rng = np.random.default_rng(77)
+    seq = random_seq(rng, 60_000, n_prob=0.004)
+    s = list(seq)
+    for pos in (7900, 24300, 47800):  # straddle the 8192-chunk boundaries
+        s[pos : pos + 700] = "AG" * 350
+    s[33000:33600] = "CCTGA" * 120
+    seq = "".join(s)
+    k, thr, mw, ms = 11, 0.75, 30, 5.0
+    res = _run_stream(seq, k, thr, mw, ms, chunk_bases=8192, block=512,
+                      cand=32, margin=8)
+    assert res.unresolved == []
+    expect = _mass_rank_regions(seq, k, thr, mw, ms)
+    assert len(expect) >= 3
+    got = sorted((r[1], r[2]) for r in res.regions)
+    exp = sorted((e[1], e[2]) for e in expect)
+    assert got == exp

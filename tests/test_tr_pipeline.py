@@ -25,16 +25,23 @@ def _tables(k, cpg_seed=2.0, cpg_trans=2.0, other_seed=-1.0, other_trans=-0.5):
 
 
 def _run(seq, k, ks, ts, min_len, block=512, cand=32):
+    from kmer_spans_tpu.spans.tr_pipeline import quantize_tr_tables
+
     p = pack(seq)
     nb = p.bases.copy()
     nb[~p.valid] = 4
     npad = -(-len(nb) // block) * block
     arr = np.full(npad, 4, np.uint8)
     arr[: len(nb)] = nb
-    fn = make_tr_pipeline(k, block=block, cand_blocks=cand)
-    out = fn(jnp.asarray(arr), jnp.asarray(ks.astype(np.float32)),
-             jnp.asarray(ts.astype(np.float32)))
-    return finish_tr_spans(out, npad, min_len, ks, ts, block=block, seq_id=1)
+    ks_q, ts_q, _ = quantize_tr_tables(ks, ts, block)
+    pipe = make_tr_pipeline(k, block=block, cand_blocks=cand)
+    dev = jnp.asarray(arr)
+    ksq_dev, tsq_dev = jnp.asarray(ks_q), jnp.asarray(ts_q)
+    out = pipe.summaries(dev, ksq_dev, tsq_dev)
+    return finish_tr_spans(out, npad, min_len, ks, ts, block=block,
+                           seq_id=1, pipe=pipe, nbases_dev=dev,
+                           ks_q_dev=ksq_dev, ts_q_dev=tsq_dev,
+                           cand_blocks=cand)
 
 
 def test_tr_pipeline_cpg_vector():

@@ -60,3 +60,53 @@ def test_device_window_matches_oracle(seed):
     dist, cpos, wv = _device_window(seq, kmers, k, window)
     np.testing.assert_array_equal(dist[: window + 1], oracle_dist)
     np.testing.assert_array_equal(cpos.T, oracle_pos)
+
+
+def test_streaming_window_engine_matches_oracle():
+    """Chunked streaming engine (one program, window lookahead, packed
+    positions): dist AND per-position counts must equal the oracle across
+    chunk boundaries and N gaps, for sequences shorter and longer than
+    the chunk."""
+    from kmer_spans_tpu.parallel.window_stream import StreamingWindowEngine
+
+    rng = np.random.default_rng(3)
+    k, window = 2, 20
+    kmers = ["CG", "GC", "AT"]
+    tracked = np.array([kmer_to_code(x) for x in kmers], dtype=np.int32)
+    eng = StreamingWindowEngine(k, window, len(tracked),
+                                chunk=8192, block=512)
+    for n in (5_000, 8192, 30_000):  # below, exactly, and above the chunk
+        seq = random_seq(rng, n, n_prob=0.01)
+        p = pack(seq)
+        nb = p.bases.copy()
+        nb[~p.valid] = 4
+        dist, cpos = eng.run(nb, tracked, with_positions=True)
+        want_d = np.zeros((window + 1, len(kmers)), dtype=np.int64)
+        want_c = np.zeros((p.n, len(kmers)), dtype=np.int64)
+        windowed_distributions(p, tracked.astype(np.int64), k, window,
+                               want_d, want_c)
+        assert np.array_equal(dist, want_d), n
+        assert np.array_equal(cpos, want_c), n
+
+
+def test_streaming_window_engine_int16_positions():
+    """window + 2 > 255 switches the packed positions to int16."""
+    from kmer_spans_tpu.parallel.window_stream import StreamingWindowEngine
+
+    rng = np.random.default_rng(5)
+    k, window = 1, 300
+    tracked = np.array([kmer_to_code("A")], dtype=np.int32)
+    eng = StreamingWindowEngine(k, window, 1, chunk=8192, block=512)
+    assert eng._pos_dtype == np.int16
+    seq = "A" * 700 + random_seq(rng, 10_000)
+    p = pack(seq)
+    nb = p.bases.copy()
+    nb[~p.valid] = 4
+    dist, cpos = eng.run(nb, tracked, with_positions=True)
+    want_d = np.zeros((window + 1, 1), dtype=np.int64)
+    want_c = np.zeros((p.n, 1), dtype=np.int64)
+    windowed_distributions(p, tracked.astype(np.int64), k, window,
+                           want_d, want_c)
+    assert np.array_equal(dist, want_d)
+    assert np.array_equal(cpos, want_c)
+    assert int(cpos.max()) > 255  # counts genuinely exceed uint8
