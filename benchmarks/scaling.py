@@ -1,13 +1,21 @@
 #!/usr/bin/env python
 """Scaling-efficiency harness: the sharded pipeline step at 1..N devices.
 
-Measures bases/sec of the multi-chip count+rank+scan step
-(parallel/pipeline.py) over meshes of 1, 2, 4, ... devices with the genome
-size scaled per device (weak scaling), and reports parallel efficiency
-vs the 1-device rate.  On a single-chip dev box, run against virtual CPU
-devices for plumbing validation:
+Two modes:
 
-    JAX_PLATFORMS= python benchmarks/scaling.py --virtual 8
+  * weak scaling (default): genome size scales with the mesh; efficiency
+    = rate / (rate_1dev * n_dev).  Meaningful ONLY on real multi-chip
+    hardware — virtual CPU devices share the same silicon, so weak
+    "efficiency" degenerates to ~1/n_dev by construction.
+  * --fixed-bases: SAME total genome across mesh sizes; efficiency =
+    rate_ndev / rate_1dev.  On virtual devices this is the honest
+    plumbing metric — it isolates the cost the sharded program adds
+    (ppermute halos, psum'd spectrum, all_gather carries, shard_map
+    partitioning) on identical hardware.  An efficiency near 1 means
+    the collective machinery is ~free and real-chip scaling will be
+    bandwidth-, not overhead-, limited.
+
+    JAX_PLATFORMS= python benchmarks/scaling.py --virtual 8 --fixed-bases 1e8
 
 On a real pod slice just run it; jax.distributed initialization for
 multi-host is handled automatically when JAX reports multiple processes.
@@ -27,6 +35,9 @@ def main():
     ap.add_argument("--virtual", type=int, default=0,
                     help="force N virtual CPU devices (plumbing check)")
     ap.add_argument("--bases-per-device", type=float, default=2**23)
+    ap.add_argument("--fixed-bases", type=float, default=0,
+                    help="fixed TOTAL genome size across mesh sizes "
+                         "(sharding-overhead mode; see module docstring)")
     ap.add_argument("-k", type=int, default=8)
     ap.add_argument("--reps", type=int, default=3)
     args = ap.parse_args()
@@ -54,9 +65,10 @@ def main():
     base_rate = None
     for nd in sizes:
         mesh = data_mesh(nd)
-        n = int(args.bases_per_device) * nd
+        n = (int(args.fixed_bases) if args.fixed_bases
+             else int(args.bases_per_device) * nd)
         block = 4096
-        n = -(-n // (nd * block)) * (nd * block)
+        n = -(-n // (max(sizes) * block)) * (max(sizes) * block)
         step = make_pipeline_step(mesh, args.k, block=block)
         bases = jnp.asarray(rng.integers(0, 4, n, dtype=np.uint8))
         valid = jnp.asarray(np.ones(n, bool))
@@ -72,7 +84,8 @@ def main():
         rate = n / min(ts)
         if base_rate is None:
             base_rate = rate
-        eff = rate / (base_rate * nd)
+        eff = (rate / base_rate if args.fixed_bases
+               else rate / (base_rate * nd))
         results.append({
             "devices": nd,
             "bases": n,
@@ -81,7 +94,11 @@ def main():
         })
         print(f"devices={nd} bases/s={rate:,.0f} efficiency={eff:.3f}",
               file=sys.stderr)
-    print(json.dumps({"metric": "scaling", "k": args.k, "results": results}))
+    print(json.dumps({
+        "metric": ("sharding_overhead" if args.fixed_bases else "scaling"),
+        "k": args.k,
+        "results": results,
+    }))
 
 
 if __name__ == "__main__":

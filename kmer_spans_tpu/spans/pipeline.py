@@ -763,11 +763,11 @@ def finish_spans(
     k = (size.bit_length() - 1) // 2  # len(counts) == 4^k
     ranks = None
     rank_lookup = None
-    if size > (1 << 26) and native.available():
-        # k >= 14: a 4^k f64 chain table is 2-8 GB and its argsort tens of
-        # seconds — instead compute exact chain ranks for just the
-        # candidate codes (native mass pass + streamed value-hist fold;
-        # bit-identical, tests/test_native.py)
+    if size >= (1 << 26) and native.available():
+        # k >= 13: a 4^k f64 chain table is 0.5-8 GB and its argsort
+        # seconds-to-tens-of-seconds PER CALL — instead compute exact
+        # chain ranks for just the candidate codes (native mass pass +
+        # streamed value-hist fold; bit-identical, tests/test_native.py)
         if codes is None:
             rows_all = sorted(
                 {pos_in_pull[b] for b in np.nonzero(cand)[0]})
@@ -821,12 +821,20 @@ def finish_spans(
             pos_ranks = (rank_lookup(c_flat) if rank_lookup is not None
                          else ranks[c_flat])
             s_flat = np.where(sc_flat, pos_ranks - thr, 0.0)
-            regions.extend(
-                _replay_stretch(
-                    s_flat, sc_flat, base_pos, min_width, min_score,
-                    seq_id,
+            rep = (native.replay_scores(
+                s_flat, sc_flat, min_width, min_score, base_pos)
+                if native.available() else None)
+            if rep is not None:
+                regions.extend(
+                    (seq_id, int(bv), int(ev), float(sv))
+                    for bv, ev, sv in zip(*rep))
+            else:
+                regions.extend(
+                    _replay_stretch(
+                        s_flat, sc_flat, base_pos, min_width, min_score,
+                        seq_id,
+                    )
                 )
-            )
         i = j + 1
     return SpanPipelineResult(regions=regions, fallback=False)
 

@@ -56,6 +56,12 @@ def _load():
             ctypes.c_int64, ctypes.c_double, ctypes.c_int64,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_int64]
+        lib.ks_replay_scores.restype = ctypes.c_int64
+        lib.ks_replay_scores.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_double, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64]
         lib.ks_count_mt.restype = ctypes.c_int64
         lib.ks_count_mt.argtypes = [
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32,
@@ -129,6 +135,31 @@ def host_spectrum(
     counts = np.bincount(
         codes[kv], minlength=1 << (2 * k)).astype(np.int64)
     return counts, int(kv.sum())
+
+
+def replay_scores(
+    s: np.ndarray, scored: np.ndarray, min_width: int, min_score: float,
+    base_pos: int,
+):
+    """Reference-exact replay from precomputed per-position f64 scores
+    (the k >= 13 candidate-only rank path); None if unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    s = np.ascontiguousarray(s, dtype=np.float64)
+    scored = np.ascontiguousarray(scored, dtype=np.uint8)
+    cap = 256
+    while True:
+        beg = np.empty(cap, dtype=np.int64)
+        end = np.empty(cap, dtype=np.int64)
+        score = np.empty(cap, dtype=np.float64)
+        nreg = lib.ks_replay_scores(
+            s.ctypes.data, scored.ctypes.data, s.shape[0],
+            min_width, min_score, base_pos,
+            beg.ctypes.data, end.ctypes.data, score.ctypes.data, cap)
+        if nreg <= cap:
+            return beg[:nreg], end[:nreg], score[:nreg]
+        cap = int(nreg) + 16
 
 
 def mass_of_codes(counts: np.ndarray, qcodes: np.ndarray):

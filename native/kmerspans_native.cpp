@@ -248,6 +248,75 @@ int64_t ks_replay_packed(const uint32_t* cand_words, const uint8_t* scored,
 }
 
 // ---------------------------------------------------------------------------
+// Candidate replay from PRECOMPUTED per-position scores (the k >= 13
+// path, where the host computes exact f64 ranks only for candidate
+// codes and never holds a 4^k table): same restartable reference scan
+// as ks_replay_packed, s[i] already = ranks[code_i] - threshold at
+// scored positions (anything at unscored ones — they reset the run).
+// ---------------------------------------------------------------------------
+int64_t ks_replay_scores(const double* s, const uint8_t* scored, int64_t n,
+                         int64_t min_width, double min_score,
+                         int64_t base_pos,
+                         int64_t* out_beg, int64_t* out_end,
+                         double* out_score, int64_t capacity) {
+    int64_t nreg = 0;
+    int64_t i = 0;
+    while (i < n) {
+        while (i < n && !scored[i]) ++i;
+        if (i >= n) break;
+        int64_t a = i;
+        int64_t b = a;
+        while (b < n && scored[b]) ++b;
+        --b;
+        i = b + 1;
+        int64_t resume = a;
+        while (resume <= b) {
+            double S = 0.0;
+            double mx = 0.0;
+            int64_t u = -1, m = -1;
+            int64_t p = resume;
+            bool jumped = false;
+            for (; p <= b; ++p) {
+                S += s[p];
+                if (S <= 0.0) {
+                    S = 0.0;
+                    if (u >= 0) {
+                        if (m - u >= min_width && mx >= min_score) {
+                            if (nreg < capacity) {
+                                out_beg[nreg] = base_pos + u + 1;
+                                out_end[nreg] = base_pos + m + 1;
+                                out_score[nreg] = mx;
+                            }
+                            ++nreg;
+                            resume = m + 1;
+                            jumped = true;
+                            break;
+                        }
+                        u = -1; m = -1; mx = 0.0;
+                    }
+                    continue;
+                }
+                if (u < 0) { u = p; m = p; mx = S; }
+                else if (S > mx) { mx = S; m = p; }
+            }
+            if (jumped) continue;
+            if (u >= 0 && m - u >= min_width && mx >= min_score) {
+                if (nreg < capacity) {
+                    out_beg[nreg] = base_pos + u + 1;
+                    out_end[nreg] = base_pos + m + 1;
+                    out_score[nreg] = mx;
+                }
+                ++nreg;
+                resume = m + 1;
+                continue;
+            }
+            break;
+        }
+    }
+    return nreg;
+}
+
+// ---------------------------------------------------------------------------
 // FASTA body extraction: strips '\r', '\n', ' ', '\t' in place while
 // packing (used by the io layer after header splitting).
 // Returns packed length.
