@@ -67,6 +67,46 @@ def blocked_codes(
     return code, kv
 
 
+#: widest k for (hi, lo) pair codes: hi holds bits 16..2k-1 < 2^30
+WIDE_MAX_K = 23
+
+
+def blocked_codes_wide(
+    bases2d: jax.Array,
+    valid2d: jax.Array,
+    k: int,
+    first_bases=None,
+    first_valid=None,
+):
+    """Wide-code variant of blocked_codes for 16 <= k <= WIDE_MAX_K.
+
+    A k-mer code needs 2k > 31 bits, so it travels as an int32 pair:
+    ``lo`` = the low 16 bits (the rolling 8-mer ending at the position),
+    ``hi`` = bits 16..2k-1 (the (k-8)-mer ending 8 positions earlier).
+    Returns (hi, lo, kmer_valid), each [nb, B]; hi/lo are zeroed-garbage
+    where invalid (consumers mask by kmer_valid), and ``lo & 3`` is still
+    the 2-bit base at the position (the packed-bases candidate pull
+    relies on this, as in the narrow path).
+    """
+    if not 16 <= k <= WIDE_MAX_K:
+        raise ValueError(f"wide codes need 16 <= k <= {WIDE_MAX_K}")
+    h = k - 1
+    eb = halo_blocks(bases2d.astype(jnp.int32), h, first=first_bases)
+    ev = halo_blocks(valid2d, h, fill=False, first=first_valid)
+    B = bases2d.shape[1]
+    lo = eb[:, h : h + B]
+    kv = ev[:, h : h + B]
+    for j in range(1, 8):
+        lo = lo | (eb[:, h - j : h - j + B] << (2 * j))
+        kv = kv & ev[:, h - j : h - j + B]
+    hi = eb[:, h - 8 : h - 8 + B]
+    kv = kv & ev[:, h - 8 : h - 8 + B]
+    for j in range(9, k):
+        hi = hi | (eb[:, h - j : h - j + B] << (2 * (j - 8)))
+        kv = kv & ev[:, h - j : h - j + B]
+    return hi, lo, kv
+
+
 def blocked_scored(valid2d: jax.Array, kmer_valid: jax.Array, next_valid=None):
     """Scored mask: kmer valid AND the NEXT byte exists and is non-N.
 

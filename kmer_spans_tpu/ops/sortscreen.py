@@ -68,6 +68,67 @@ VMAX = 1 << 16
 V2 = 1 << 8
 
 
+def _rank_ub_scores(v, hb, head, real, total, thr_q, vmax, v2):
+    """Shared rank-upper-bound screen from sorted runs (see module doc).
+
+    v: int32 run length (exact count of the element's k-mer in the
+    chunk); hb: its code's top 8 bits; head/real: run-head flag / not
+    the invalid-sentinel run; total: counted k-mers (int32 scalar).
+    Returns s_int for the SORTED order (callers unsort by position).
+    """
+    from .gather import (
+        class_scores_int,
+        class_table_from_mass,
+        pallas_word_gather,
+        prerolled_table,
+    )
+    from .pallas_kernels import pallas_histogram
+
+    i32 = jnp.int32
+    vcl = jnp.minimum(v, vmax - 1)
+
+    # ---- by-value bound: mass_ub1(v) = cummass(<= v) - v ----------------
+    vh_runs = pallas_histogram(vcl, head & real, vmax)
+    w = jax.lax.iota(i32, vmax)
+    cmass = jnp.cumsum(w * vh_runs)      # cummass(<= v); int32 (<= total)
+    mass_ub1 = cmass - w
+    # clipped bucket: force rank_ub = 1 (class top) — sound for any tail
+    mass_ub1 = mass_ub1.at[vmax - 1].set(total)
+
+    # ---- (value, high-byte) refinement for v < v2 -----------------------
+    vsm = v < v2
+    idx2 = jnp.minimum(v, v2 - 1) * 256 + hb
+    h2 = pallas_histogram(idx2, head & real & vsm, v2 * 256)
+    cumh = jnp.cumsum(h2.reshape(v2, 256), axis=1)  # runs(v, high <= h)
+    below = jnp.concatenate([jnp.zeros((1,), i32), cmass[: v2 - 1]])
+    wv = jax.lax.iota(i32, v2)[:, None]
+    mass_ub2 = below[:, None] + wv * (cumh - 1)
+
+    # ---- one fused class table: [by-value | refined] ---------------------
+    total_f32 = total.astype(jnp.float32)
+    words1 = class_table_from_mass(jnp.maximum(mass_ub1, 0), total_f32)
+    words2 = class_table_from_mass(
+        jnp.maximum(mass_ub2.reshape(-1), 0), total_f32)
+    tabR = prerolled_table(jnp.concatenate([words1, words2]))
+
+    entry = jnp.where(vsm, idx2, vcl)
+    widx = (entry >> 3) + jnp.where(vsm, vmax // 8, 0)
+    words = pallas_word_gather(tabR, widx)
+    nib = (words >> ((entry & 7) * 4)) & 15
+    return class_scores_int(nib, thr_q)
+
+
+def _run_lengths(head, n):
+    """Exact run lengths from head flags over a sorted axis."""
+    i32 = jnp.int32
+    last = jnp.concatenate([head[1:], jnp.ones((1,), bool)])
+    idx = jax.lax.iota(i32, n)
+    start = jax.lax.cummax(jnp.where(head, idx, 0))
+    end = jax.lax.cummin(
+        jnp.where(last, idx + 1, jnp.int32(1 << 30)), reverse=True)
+    return end - start
+
+
 def sort_screen_scores(
     codes: jax.Array,
     kmer_valid: jax.Array,
@@ -89,14 +150,6 @@ def sort_screen_scores(
     (src/kmer_spans.c:268) with rank_kmers_w ranks (:189-202), as a
     sound screen; candidates replay exactly on the host.
     """
-    from .gather import (
-        class_scores_int,
-        class_table_from_mass,
-        pallas_word_gather,
-        prerolled_table,
-    )
-    from .pallas_kernels import pallas_histogram
-
     v2 = min(v2, vmax)
     n = codes.shape[0]
     size = 1 << (2 * k)
@@ -107,47 +160,57 @@ def sort_screen_scores(
 
     head = jnp.concatenate(
         [jnp.ones((1,), bool), skey[1:] != skey[:-1]])
-    last = jnp.concatenate([head[1:], jnp.ones((1,), bool)])
-    idx = jax.lax.iota(i32, n)
-    start = jax.lax.cummax(jnp.where(head, idx, 0))
-    end = jax.lax.cummin(
-        jnp.where(last, idx + 1, jnp.int32(1 << 30)), reverse=True)
-    v = end - start                      # exact global count of my k-mer
-    vcl = jnp.minimum(v, vmax - 1)
+    v = _run_lengths(head, n)            # exact global count of my k-mer
     real = skey < size
-
     total = jnp.sum(kmer_valid.astype(i32))
-
-    # ---- by-value bound: mass_ub1(v) = cummass(<= v) - v ----------------
-    vh_runs = pallas_histogram(vcl, head & real, vmax)
-    w = jax.lax.iota(i32, vmax)
-    cmass = jnp.cumsum(w * vh_runs)      # cummass(<= v); int32 (<= total)
-    mass_ub1 = cmass - w
-    # clipped bucket: force rank_ub = 1 (class top) — sound for any tail
-    mass_ub1 = mass_ub1.at[vmax - 1].set(total)
-
-    # ---- (value, high-byte) refinement for v < v2 -----------------------
     hb = (skey >> (2 * k - 8)) & 255
-    vsm = v < v2
-    idx2 = jnp.minimum(v, v2 - 1) * 256 + hb
-    h2 = pallas_histogram(idx2, head & real & vsm, v2 * 256)
-    cumh = jnp.cumsum(h2.reshape(v2, 256), axis=1)  # runs(v, high <= h)
-    below = jnp.concatenate([jnp.zeros((1,), i32), cmass[: v2 - 1]])
-    wv = jax.lax.iota(i32, v2)[:, None]
-    mass_ub2 = below[:, None] + wv * (cumh - 1)
+    s_sorted = _rank_ub_scores(v, hb, head, real, total, thr_q, vmax, v2)
 
-    # ---- one fused class table: [by-value | refined] ---------------------
-    total_f32 = total.astype(jnp.float32)
-    words1 = class_table_from_mass(jnp.maximum(mass_ub1, 0), total_f32)
-    words2 = class_table_from_mass(
-        jnp.maximum(mass_ub2.reshape(-1), 0), total_f32)
-    tabR = prerolled_table(jnp.concatenate([words1, words2]))
+    _, s_int = jax.lax.sort((spos, s_sorted), num_keys=1)
+    return s_int, total
 
-    entry = jnp.where(vsm, idx2, vcl)
-    widx = (entry >> 3) + jnp.where(vsm, vmax // 8, 0)
-    words = pallas_word_gather(tabR, widx)
-    nib = (words >> ((entry & 7) * 4)) & 15
-    s_sorted = class_scores_int(nib, thr_q)
+
+def sort_screen_scores_wide(
+    hi: jax.Array,
+    lo: jax.Array,
+    kmer_valid: jax.Array,
+    k: int,
+    thr_q: jax.Array,
+    vmax: int = VMAX,
+    v2: int = V2,
+):
+    """The sort screen for WIDE codes (k >= 16): (hi, lo) int32 pairs.
+
+    hi: bits 16..2k-1 of the code (< 2^(2k-16), int32 up to k = 23);
+    lo: the low 16 bits.  Identical math to sort_screen_scores, with a
+    2-key lax.sort (+~1 ns/el per extra key, CLAUDE.md measured) and the
+    high byte read from hi.  No 4^k anything — device memory is O(n),
+    which is the whole point at k = 17 (a dense spectrum would be 68 GB;
+    BASELINE config 5).
+
+    Reference parity: the reference cannot reach k >= 16 at all (its
+    MAX_K=16 is UB, SURVEY §2.1 #4); this extends the same
+    rank_kmers_w/kmer_regions semantics (src/kmer_spans.c:189-202, :268)
+    soundly past it.  Candidates still replay exactly on the host from a
+    sparse recount.
+    """
+    v2 = min(v2, vmax)
+    n = hi.shape[0]
+    i32 = jnp.int32
+    sent = jnp.int32(1 << 30)  # > any valid hi (k <= 23 -> hi < 2^30)
+    key1 = jnp.where(kmer_valid, hi, sent)
+    key2 = jnp.where(kmer_valid, lo, 0)
+    pos = jax.lax.iota(i32, n)
+    k1, k2, spos = jax.lax.sort((key1, key2, pos), num_keys=2)
+
+    head = jnp.concatenate(
+        [jnp.ones((1,), bool),
+         (k1[1:] != k1[:-1]) | (k2[1:] != k2[:-1])])
+    v = _run_lengths(head, n)
+    real = k1 < sent
+    total = jnp.sum(kmer_valid.astype(i32))
+    hb = (k1 >> (2 * k - 24)) & 255      # top 8 bits of the 2k-bit code
+    s_sorted = _rank_ub_scores(v, hb, head, real, total, thr_q, vmax, v2)
 
     _, s_int = jax.lax.sort((spos, s_sorted), num_keys=1)
     return s_int, total

@@ -73,6 +73,33 @@ def count_spectrum(seq, k: int, counts: np.ndarray | None = None):
     return counts, n_words
 
 
+def count_spectrum_sparse(seq, k: int):
+    """SPARSE spectrum: distinct codes + counts (the wide-k form).
+
+    For k >= 16 a dense 4^k array cannot exist (68 GB at k=17), but a
+    genome's spectrum has at most n distinct entries.  Codes are int64
+    (2k <= 62 bits); counting semantics are identical to count_spectrum
+    (reference sequence_kmer_count, src/kmer_spans.c:135-155 — which
+    is capped at its MAX_K; this extends the same contract past it).
+    Returns (ucodes int64 ascending, ucounts int64, n_words).
+    """
+    if not 1 <= k <= 31:
+        raise ValueError(f"k must be in [1, 31], got {k}")
+    p = pack(seq)
+    parts = []
+    n_words = 0
+    for a, b in segments(p.valid):
+        if b - a + 1 < k:
+            continue
+        codes = _segment_codes(p.bases, a, b, k)
+        parts.append(codes)
+        n_words += codes.shape[0]
+    allc = (np.concatenate(parts) if parts
+            else np.zeros(0, np.int64))
+    ucodes, ucounts = np.unique(allc, return_counts=True)
+    return ucodes, ucounts.astype(np.int64), n_words
+
+
 def _segment_codes(bases: np.ndarray, a: int, b: int, k: int) -> np.ndarray:
     """Codes of all k-mers in segment [a, b], ordered by end position."""
     seg = bases[a : b + 1].astype(np.int64)
@@ -149,7 +176,10 @@ def find_regions(
     p = pack(seq)
     mask = (1 << (2 * k)) - 1
     regions: list[tuple[int, int, int, float]] = []
-    weights = np.asarray(weights, dtype=np.float64)
+    # wide-k (k >= 16) weights arrive as a sparse lookup object (e.g.
+    # stats.ranks.SparseRanks) — a dense 4^k array cannot exist there
+    if not getattr(weights, "sparse_lookup", False):
+        weights = np.asarray(weights, dtype=np.float64)
 
     for a, b in segments(p.valid):
         if b - a + 1 < k:

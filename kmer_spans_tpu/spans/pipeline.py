@@ -329,6 +329,253 @@ def make_span_pipeline(
     return fn
 
 
+def make_wide_span_pipeline(k: int, block: int = 8192,
+                            cand_blocks: int = 128):
+    """Single-chip span pipeline for WIDE codes (16 <= k <= 23).
+
+    BASELINE config 5 territory: past the reference's own MAX_K (k=16 is
+    UB in src/kmer_spans.c:139, practical max 15), where a dense 4^k
+    spectrum cannot exist anywhere (68 GB at k=17).  Codes live as
+    (hi, lo) int32 pairs (ops/blocked.blocked_codes_wide), the screen is
+    the 2-key sort screen (ops/sortscreen.sort_screen_scores_wide) —
+    device memory stays O(n) — and the host finisher replays candidates
+    from a SPARSE recount (oracle.count_spectrum_sparse or the native
+    counter) through the exact f64 chain (stats.ranks.sparse_mass +
+    chain_ranks_from_mass).
+
+    fn(nbases u8 [n], thr f32) -> ONE packed int32 vector; decode with
+    unpack_wide_outputs, finish with finish_wide_spans.  n must be a
+    multiple of ``block``; block must be 16-aligned (candidates travel
+    as 2-bit bases + TWO seed words per block).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops.blocked import (
+        WIDE_MAX_K,
+        blocked_codes_wide,
+        blocked_scan_summaries_int,
+        blocked_scored,
+        compose_summaries_f32,
+    )
+    from ..ops.gather import screen_thr_q
+    from ..ops.sortscreen import sort_screen_scores_wide
+
+    if not 16 <= k <= WIDE_MAX_K:
+        raise ValueError(f"wide pipeline needs 16 <= k <= {WIDE_MAX_K}")
+    if block % 16:
+        raise ValueError("block must be a multiple of 16")
+
+    @jax.jit
+    def fn(nbases, thr):
+        n = nbases.shape[0]
+        nb = n // block
+        W = 8192 if n % 8192 == 0 and block < 8192 else block
+        b2 = (nbases & 3).reshape(n // W, W)
+        v2 = (nbases < 4).reshape(n // W, W)
+        hi, lo, kmer_valid = blocked_codes_wide(b2, v2, k)
+        scored = blocked_scored(v2, kmer_valid).reshape(nb, block)
+        thr_q = screen_thr_q(thr)
+        s_int, total_kmers = sort_screen_scores_wide(
+            hi.reshape(-1), lo.reshape(-1), kmer_valid.reshape(-1),
+            k, thr_q)
+        s_int = s_int.reshape(nb, block)
+        tA, tB, maxA, maxB = blocked_scan_summaries_int(s_int, scored)
+
+        block_max, block_last = compose_summaries_f32(tA, tB, maxA, maxB)
+        linked = jnp.concatenate(
+            [jnp.zeros((1,), bool), block_last[:-1] > 0])
+        reset = (~linked).astype(jnp.float32)
+        fwd, _ = jax.lax.associative_scan(
+            _seg_max_combine, (block_max, reset))
+        linked_next = jnp.concatenate([linked[1:], jnp.zeros((1,), bool)])
+        reset_b = (~linked_next).astype(jnp.float32)
+        bwd, _ = jax.lax.associative_scan(
+            _seg_max_combine, (jnp.flip(block_max), jnp.flip(reset_b)))
+        run_max = jnp.maximum(fwd, jnp.flip(bwd))
+        _, top_idx = jax.lax.top_k(run_max, min(cand_blocks, nb))
+        top_idx = jnp.sort(top_idx)
+
+        C = top_idx.shape[0]
+        sc_cand = scored[top_idx]
+        bits32 = jnp.arange(32, dtype=jnp.uint32)
+        sc_words = jnp.sum(
+            sc_cand.reshape(C, block // 32, 32).astype(jnp.uint32)
+            << bits32[None, None, :],
+            axis=-1, dtype=jnp.uint32)
+        # candidate payload: TWO seed words (hi0, lo0 — the k-1 halo
+        # bases as one wide code) + the block's 2-bit bases, 16/word
+        hi_c = hi.reshape(nb, block)[top_idx]
+        lo_c = lo.reshape(nb, block)[top_idx]
+        b16 = (lo_c & 3).astype(jnp.uint32).reshape(C, block // 16, 16)
+        shifts = (2 * jnp.arange(16, dtype=jnp.uint32))[None, None, :]
+        cand_words = jnp.concatenate([
+            hi_c[:, 0:1].astype(jnp.uint32),
+            lo_c[:, 0:1].astype(jnp.uint32),
+            jnp.sum(b16 << shifts, axis=-1, dtype=jnp.uint32),
+        ], axis=1)
+        bc = lambda x: jax.lax.bitcast_convert_type(x, jnp.int32)
+        return jnp.concatenate([
+            total_kmers.reshape(1).astype(jnp.int32),
+            tA.astype(jnp.int32),
+            tB.astype(jnp.int32),
+            maxA.astype(jnp.int32),
+            maxB.astype(jnp.int32),
+            top_idx.astype(jnp.int32),
+            bc(sc_words.astype(jnp.uint32)).reshape(-1),
+            bc(cand_words.astype(jnp.uint32)).reshape(-1),
+        ])
+
+    return fn
+
+
+def rebuild_codes_wide(cw: np.ndarray, k: int, block: int) -> np.ndarray:
+    """Exact int64 rolling codes from wide packed candidate words.
+
+    cw: [rows, 2 + block/16] uint32 — (hi0, lo0) seed pair + 2-bit
+    bases, 16/word.  The seed is the block's first full code; its bits
+    2t..2t+1 are the base t positions before the block start, exactly as
+    rebuild_codes — but the code needs 2k <= 46 bits, so everything is
+    int64 here.
+    """
+    rows = cw.shape[0]
+    seed = (cw[:, 0].astype(np.int64) << 16) | cw[:, 1].astype(np.int64)
+    bases = (
+        (cw[:, 2:, None] >> (2 * np.arange(16, dtype=np.uint32))) & 3
+    ).reshape(rows, block).astype(np.int64)
+    ext = np.empty((rows, k - 1 + block), np.int64)
+    ext[:, k - 1:] = bases
+    for t in range(1, k):
+        ext[:, k - 1 - t] = (seed >> (2 * t)) & 3
+    codes = np.zeros((rows, block), np.int64)
+    for t in range(k):
+        codes |= ext[:, k - 1 - t:k - 1 - t + block] << (2 * t)
+    return codes
+
+
+def unpack_wide_outputs(vec, n: int, block: int, cand_blocks: int):
+    """Decode make_wide_span_pipeline output into the finisher dict."""
+    v = np.asarray(vec)
+    nb = n // block
+    C = min(cand_blocks, nb)
+    off = 0
+
+    def take(m):
+        nonlocal off
+        out = v[off:off + m]
+        off += m
+        return out
+
+    total = int(take(1)[0])
+    tA = take(nb)
+    tB = take(nb)
+    maxA = take(nb)
+    maxB = take(nb)
+    top_idx = take(C)
+    sc_words = take(C * (block // 32)).copy().view(np.uint32)
+    scored = (
+        (sc_words[:, None] >> np.arange(32, dtype=np.uint32)) & 1
+    ).astype(bool).reshape(C, block)
+    cand_words = take(C * (2 + block // 16)).copy().view(
+        np.uint32).reshape(C, 2 + block // 16)
+    assert off == v.shape[0], (off, v.shape)
+    return {
+        "total": total,
+        "tA": tA,
+        "tB": tB,
+        "maxA": maxA,
+        "maxB": maxB,
+        "top_idx": top_idx,
+        "cand_words": cand_words,
+        "scored": scored,
+    }
+
+
+def finish_wide_spans(
+    out: dict,
+    n: int,
+    k: int,
+    thr: float,
+    min_width: int,
+    min_score: float,
+    spectrum,
+    block: int = 8192,
+    seq_id: int = 0,
+) -> SpanPipelineResult:
+    """Host finisher for the wide pipeline: sparse-exact replay.
+
+    spectrum: (ucodes int64 ascending, ucounts, total) — e.g. from
+    oracle.count_spectrum_sparse (host recount; the device never holds a
+    spectrum at wide k).  Candidacy is the same exact int64 composition
+    as finish_spans; candidate ranks come from stats.ranks.sparse_mass +
+    chain_ranks_from_mass, bit-identical to the reference's f64 chain
+    (src/kmer_spans.c:198-202) restricted to present codes.
+    """
+    from ..stats.ranks import chain_ranks_from_mass, sparse_mass
+    from ..utils import native
+
+    block_max, block_last = compose_summaries_exact(
+        out["tA"], out["tB"], out["maxA"], out["maxB"])
+    top_idx = np.asarray(out["top_idx"])
+    nb = block_max.shape[0]
+    linked = np.zeros(nb, bool)
+    linked[1:] = block_last[:-1] > 0
+    starts = np.nonzero(~linked)[0]
+    run_of = np.cumsum(~linked) - 1
+    run_max = np.maximum.reduceat(block_max, starts)[run_of]
+    cand = run_max >= float(min_score) * SCREEN_SCALE
+    if not cand.any():
+        return SpanPipelineResult(regions=[], fallback=False)
+    have = np.zeros(nb, bool)
+    have[top_idx] = True
+    if (cand & ~have).any():
+        return SpanPipelineResult(regions=[], fallback=True)
+
+    ucodes, ucounts, total = spectrum
+    ucodes = np.asarray(ucodes, np.int64)
+    pm_all, vhist, _ = sparse_mass(ucodes, ucounts)
+    pos_in_pull = {int(b): i for i, b in enumerate(top_idx)}
+    cand_words = np.asarray(out["cand_words"])
+    scored = np.asarray(out["scored"])
+
+    rows_all = sorted({pos_in_pull[b] for b in np.nonzero(cand)[0]})
+    codes = np.zeros((scored.shape[0], block), np.int64)
+    codes[rows_all] = rebuild_codes_wide(cand_words[rows_all], k, block)
+    uniq = np.unique(codes[rows_all][scored[rows_all]])
+    idx_u = np.minimum(np.searchsorted(ucodes, uniq),
+                       max(len(ucodes) - 1, 0))
+    ranks_u = chain_ranks_from_mass(pm_all[idx_u], vhist, total)
+
+    regions = []
+    i = 0
+    while i < nb:
+        if not cand[i]:
+            i += 1
+            continue
+        j = i
+        while j + 1 < nb and cand[j + 1]:
+            j += 1
+        rows = [pos_in_pull[b] for b in range(i, j + 1)]
+        c_flat = codes[rows].reshape(-1)
+        sc_flat = scored[rows].reshape(-1)
+        qi = np.minimum(np.searchsorted(uniq, c_flat),
+                        max(len(uniq) - 1, 0))
+        s_flat = np.where(sc_flat, ranks_u[qi] - thr, 0.0)
+        base_pos = i * block
+        rep = (native.replay_scores(
+            s_flat, sc_flat, min_width, min_score, base_pos)
+            if native.available() else None)
+        if rep is not None:
+            regions.extend(
+                (seq_id, int(bv), int(ev), float(sv))
+                for bv, ev, sv in zip(*rep))
+        else:
+            regions.extend(_replay_stretch(
+                s_flat, sc_flat, base_pos, min_width, min_score, seq_id))
+        i = j + 1
+    return SpanPipelineResult(regions=regions, fallback=False)
+
+
 def quantize_weight_table(weights, threshold: float, block: int):
     """Sound integer upper-bound screen table for ARBITRARY f64 weights.
 
