@@ -68,6 +68,65 @@ VMAX = 1 << 16
 V2 = 1 << 8
 
 
+def rank_ub_histograms(v, hb, head_mask, vmax, v2):
+    """The two run histograms the rank-upper-bound tables are built from.
+
+    v/hb: per-element run length / top-8-bits; head_mask: True exactly
+    once per REAL run (head & real).  Returns (vh_runs [vmax] — runs per
+    count value — and h2 [v2*256] — runs per (value, high byte)).  In
+    the sharded screen these are per-owner partials that psum to the
+    global histograms (each global run is counted once, by its owner).
+    """
+    from .pallas_kernels import pallas_histogram
+
+    vcl = jnp.minimum(v, vmax - 1)
+    vh_runs = pallas_histogram(vcl, head_mask, vmax)
+    idx2 = jnp.minimum(v, v2 - 1) * 256 + hb
+    h2 = pallas_histogram(idx2, head_mask & (v < v2), v2 * 256)
+    return vh_runs, h2
+
+
+def rank_ub_tables(vh_runs, h2, total, vmax, v2):
+    """Pre-rolled packed class table from the run histograms.
+
+    mass_ub1(v) = cummass(<= v) - v (by-value bound); mass_ub2(v, h) =
+    below(v) + v * (runs(v, high <= h) - 1) (the refinement for v < v2);
+    the clipped bucket screens as rank_ub = 1.  See module docstring for
+    the soundness derivation.
+    """
+    from .gather import class_table_from_mass, prerolled_table
+
+    i32 = jnp.int32
+    w = jax.lax.iota(i32, vmax)
+    cmass = jnp.cumsum(w * vh_runs)      # cummass(<= v); int32 (<= total)
+    mass_ub1 = cmass - w
+    # clipped bucket: force rank_ub = 1 (class top) — sound for any tail
+    mass_ub1 = mass_ub1.at[vmax - 1].set(total)
+    cumh = jnp.cumsum(h2.reshape(v2, 256), axis=1)  # runs(v, high <= h)
+    below = jnp.concatenate([jnp.zeros((1,), i32), cmass[: v2 - 1]])
+    wv = jax.lax.iota(i32, v2)[:, None]
+    mass_ub2 = below[:, None] + wv * (cumh - 1)
+    total_f32 = total.astype(jnp.float32)
+    words1 = class_table_from_mass(jnp.maximum(mass_ub1, 0), total_f32)
+    words2 = class_table_from_mass(
+        jnp.maximum(mass_ub2.reshape(-1), 0), total_f32)
+    return prerolled_table(jnp.concatenate([words1, words2]))
+
+
+def rank_ub_gather(tabR, v, hb, thr_q, vmax, v2):
+    """Per-element integer screen scores from the fused class table."""
+    from .gather import class_scores_int, pallas_word_gather
+
+    vcl = jnp.minimum(v, vmax - 1)
+    vsm = v < v2
+    idx2 = jnp.minimum(v, v2 - 1) * 256 + hb
+    entry = jnp.where(vsm, idx2, vcl)
+    widx = (entry >> 3) + jnp.where(vsm, vmax // 8, 0)
+    words = pallas_word_gather(tabR, widx)
+    nib = (words >> ((entry & 7) * 4)) & 15
+    return class_scores_int(nib, thr_q)
+
+
 def _rank_ub_scores(v, hb, head, real, total, thr_q, vmax, v2):
     """Shared rank-upper-bound screen from sorted runs (see module doc).
 
@@ -76,46 +135,9 @@ def _rank_ub_scores(v, hb, head, real, total, thr_q, vmax, v2):
     the invalid-sentinel run; total: counted k-mers (int32 scalar).
     Returns s_int for the SORTED order (callers unsort by position).
     """
-    from .gather import (
-        class_scores_int,
-        class_table_from_mass,
-        pallas_word_gather,
-        prerolled_table,
-    )
-    from .pallas_kernels import pallas_histogram
-
-    i32 = jnp.int32
-    vcl = jnp.minimum(v, vmax - 1)
-
-    # ---- by-value bound: mass_ub1(v) = cummass(<= v) - v ----------------
-    vh_runs = pallas_histogram(vcl, head & real, vmax)
-    w = jax.lax.iota(i32, vmax)
-    cmass = jnp.cumsum(w * vh_runs)      # cummass(<= v); int32 (<= total)
-    mass_ub1 = cmass - w
-    # clipped bucket: force rank_ub = 1 (class top) — sound for any tail
-    mass_ub1 = mass_ub1.at[vmax - 1].set(total)
-
-    # ---- (value, high-byte) refinement for v < v2 -----------------------
-    vsm = v < v2
-    idx2 = jnp.minimum(v, v2 - 1) * 256 + hb
-    h2 = pallas_histogram(idx2, head & real & vsm, v2 * 256)
-    cumh = jnp.cumsum(h2.reshape(v2, 256), axis=1)  # runs(v, high <= h)
-    below = jnp.concatenate([jnp.zeros((1,), i32), cmass[: v2 - 1]])
-    wv = jax.lax.iota(i32, v2)[:, None]
-    mass_ub2 = below[:, None] + wv * (cumh - 1)
-
-    # ---- one fused class table: [by-value | refined] ---------------------
-    total_f32 = total.astype(jnp.float32)
-    words1 = class_table_from_mass(jnp.maximum(mass_ub1, 0), total_f32)
-    words2 = class_table_from_mass(
-        jnp.maximum(mass_ub2.reshape(-1), 0), total_f32)
-    tabR = prerolled_table(jnp.concatenate([words1, words2]))
-
-    entry = jnp.where(vsm, idx2, vcl)
-    widx = (entry >> 3) + jnp.where(vsm, vmax // 8, 0)
-    words = pallas_word_gather(tabR, widx)
-    nib = (words >> ((entry & 7) * 4)) & 15
-    return class_scores_int(nib, thr_q)
+    vh_runs, h2 = rank_ub_histograms(v, hb, head & real, vmax, v2)
+    tabR = rank_ub_tables(vh_runs, h2, total, vmax, v2)
+    return rank_ub_gather(tabR, v, hb, thr_q, vmax, v2)
 
 
 def _run_lengths(head, n):
