@@ -20,6 +20,7 @@ Backends:
 from __future__ import annotations
 
 import dataclasses
+import functools
 
 import numpy as np
 
@@ -333,6 +334,22 @@ def kmer_low_comp_regions(
     )
 
 
+@functools.lru_cache(maxsize=8)
+def _cached_span_pipeline(k, block, cand_blocks):
+    """One jitted pipeline per (k, block, cand) — repeat api calls reuse
+    the in-process jit cache instead of rebuilding the closure."""
+    from .spans.pipeline import make_span_pipeline
+
+    return make_span_pipeline(k, block=block, cand_blocks=cand_blocks)
+
+
+@functools.lru_cache(maxsize=8)
+def _cached_wide_pipeline(k, block, cand_blocks):
+    from .spans.pipeline import make_wide_span_pipeline
+
+    return make_wide_span_pipeline(k, block=block, cand_blocks=cand_blocks)
+
+
 def _low_comp_fast(packed, k, min_w, min_score, thr, block=8192,
                    cand_blocks=128):
     """Sparse device pipeline over all sequences in one program.
@@ -360,7 +377,11 @@ def _low_comp_fast(packed, k, min_w, min_score, thr, block=8192,
             w_rank=np.zeros(1 << (2 * k)),
         )
     total_len = sum(p.n for _, p in kept) + len(kept) - 1
-    npad = -(-total_len // block) * block
+    # power-of-two length buckets: one compiled program per (k, bucket),
+    # not per total length (repeat calls at new sizes shared nothing)
+    npad = max(block, 1 << 13)
+    while npad < total_len:
+        npad *= 2
     arr = np.full(npad, 4, np.uint8)
     offsets = []  # global 0-based start of each kept sequence
     pos = 0
@@ -372,7 +393,7 @@ def _low_comp_fast(packed, k, min_w, min_score, thr, block=8192,
         nb[~p.valid] = 4
         arr[pos : pos + p.n] = nb
         pos += p.n
-    fn = make_span_pipeline(k, block=block, cand_blocks=cand_blocks)
+    fn = _cached_span_pipeline(k, block, cand_blocks)
     out = fn(jnp.asarray(arr), jnp.float32(thr))
     counts_host = None
     if out["counts"] is None:
@@ -407,6 +428,103 @@ def _low_comp_fast(packed, k, min_w, min_score, thr, block=8192,
 def kmer_seq(k: int) -> list[str]:
     """All 4^k k-mer strings in 2-bit index order (A, C, T, G)."""
     return all_kmers(k)
+
+
+@dataclasses.dataclass
+class WideRegionResult:
+    """kmer_wide_regions output: regions + the SPARSE spectrum.
+
+    At k >= 16 a dense 4^k counts array cannot exist (the reference's own
+    MAX_K tops out below this — SURVEY §2.1 #4), so the spectrum is
+    (codes, counts) over distinct k-mers only.
+    """
+
+    regions: np.ndarray          # structured (_REGION_DTYPE)
+    spectrum_codes: np.ndarray   # int64, distinct codes ascending
+    spectrum_counts: np.ndarray  # int64
+    n_words: int                 # total counted k-mers
+
+
+def kmer_wide_regions(
+    seqs, k: int, min_w: int, min_score: float, thr: float = 0.75,
+    backend: str = "auto", block: int = 8192, cand_blocks: int = 256,
+) -> WideRegionResult:
+    """Rank-scored spans for WIDE k (16..23) — past the reference's MAX_K.
+
+    Semantics are kmer_low_comp_regions' (spectrum -> weighted ranks ->
+    spans; src/kmer_spans.c:548-621) extended to k where only a sparse
+    spectrum can exist.  backend "jax" runs the wide device pipeline
+    (pair codes + 2-key sort screen, spans/pipeline.py) with candidates
+    replayed through the exact f64 chain; "host" (and any device
+    candidate-capacity overflow) runs the sequential oracle over a
+    SparseRanks lookup.  Both give identical output.
+    """
+    from .ops.blocked import WIDE_MAX_K
+
+    if not 16 <= k <= WIDE_MAX_K:
+        raise ValueError(f"kmer_wide_regions needs 16 <= k <= {WIDE_MAX_K}")
+    if not 0.0 < thr < 1.0:
+        raise ValueError("the threshold must be between 0 and 1")
+    backend = _resolve_backend(backend)
+    packed = _as_seq_list(seqs)
+    kept = [(i, p) for i, p in enumerate(packed) if p.n >= k]
+    empty = np.zeros(0, np.int64)
+    if not kept:
+        return WideRegionResult(_as_region_array([]), empty, empty, 0)
+    # concatenate with single-N separators (segments never span N, so
+    # per-sequence semantics are preserved exactly; as _low_comp_fast)
+    total_len = sum(p.n for _, p in kept) + len(kept) - 1
+    npad = max(block, 1 << 13)
+    while npad < total_len:
+        npad *= 2
+    arr = np.full(npad, 4, np.uint8)
+    offsets = []
+    pos = 0
+    for j, (i, p) in enumerate(kept):
+        if j:
+            pos += 1
+        offsets.append(pos)
+        nb = p.bases.copy()
+        nb[~p.valid] = 4
+        arr[pos : pos + p.n] = nb
+        pos += p.n
+    from .oracle.reference import count_spectrum_sparse
+
+    cat = PackedSeq(bases=arr & 3, valid=arr < 4)
+    ucodes, ucounts, n_words = count_spectrum_sparse(cat, k)
+    glob_regions = None
+    if backend == "jax":
+        import jax.numpy as jnp
+
+        from .spans.pipeline import finish_wide_spans, unpack_wide_outputs
+
+        fn = _cached_wide_pipeline(k, block, min(cand_blocks,
+                                                 npad // block))
+        v = np.asarray(fn(jnp.asarray(arr), jnp.float32(thr)))
+        got = unpack_wide_outputs(v, npad, block,
+                                  min(cand_blocks, npad // block))
+        res = finish_wide_spans(
+            got, npad, k, thr, min_w, min_score,
+            (ucodes, ucounts, n_words), block=block)
+        if not res.fallback:
+            glob_regions = res.regions
+    if glob_regions is None:
+        # host oracle (or device capacity overflow): sequential caller
+        # over the sparse-exact rank lookup
+        from .stats.ranks import SparseRanks
+
+        sr = SparseRanks(ucodes, ucounts)
+        glob_regions = oracle.find_regions(
+            cat, 0, min_w, min_score, sr, k, thr)
+    import bisect
+
+    regions = []
+    for _, beg, end, score in glob_regions:
+        j = bisect.bisect_right(offsets, beg - 1) - 1
+        regions.append(
+            (kept[j][0], beg - offsets[j], end - offsets[j], score))
+    return WideRegionResult(
+        _as_region_array(regions), ucodes, ucounts, n_words)
 
 
 # ---------------------------------------------------------------------------

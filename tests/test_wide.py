@@ -99,6 +99,31 @@ def test_wide_sort_screen_is_sound_k16():
     assert np.all(s_int[sc_np] >= SCREEN_SCALE * true_s - 1e-6)
 
 
+def test_api_kmer_wide_regions_backends_agree():
+    """Public surface: multi-sequence k=17, jax pipeline == host oracle,
+    coordinates mapped back per sequence."""
+    from kmer_spans_tpu.api import kmer_wide_regions
+
+    k = 17
+    rng = np.random.default_rng(71)
+    seqs = [
+        _plant(random_seq(rng, 40_000), [(6_000, "GATTACA", 200)]),
+        "ACGT" * 3,  # shorter than k: skipped
+        _plant(random_seq(rng, 30_000), [(12_000, "CCTGA", 260)]),
+    ]
+    got_j = kmer_wide_regions(seqs, k, 30, 5.0, thr=0.75, backend="jax",
+                              block=1024)
+    got_h = kmer_wide_regions(seqs, k, 30, 5.0, thr=0.75, backend="host")
+    assert got_j.n_words == got_h.n_words
+    np.testing.assert_array_equal(got_j.spectrum_codes,
+                                  got_h.spectrum_codes)
+    assert got_j.regions.tolist() == got_h.regions.tolist()
+    sids = {int(r["seq_id"]) for r in got_j.regions}
+    assert sids == {0, 2}
+    with pytest.raises(ValueError):
+        kmer_wide_regions(seqs, 15, 30, 5.0)
+
+
 @pytest.mark.parametrize("k", [16, 17])
 def test_wide_pipeline_matches_oracle(k):
     """End to end at k=16/17: wide device pipeline + sparse host recount
