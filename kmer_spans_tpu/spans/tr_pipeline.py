@@ -111,18 +111,25 @@ def make_tr_pipeline(k: int, block: int = 8192, cand_blocks: int = 128):
         b = jnp.maximum(jnp.maximum(b1 + a2, NEG), b2)
         return a, b
 
-    def _elements(nbases, ks_q, ts_q):
+    def _elements(nbases, ks_q, ts_q, halo):
+        # halo: u8 [k] — the previous chunk's last k bytes (N = 4); the
+        # one-shot path passes all-N, which reproduces the chunk-free
+        # behavior (invalid prefix).  Streaming passes real bytes so
+        # codes/seed/ext are globally consistent across chunk edges.
         n = nbases.shape[0]
         nb = n // block
         b2 = (nbases & 3).reshape(nb, block)
         v2 = (nbases < 4).reshape(nb, block)
-        codes, kmer_valid = blocked_codes(b2, v2, k)
+        hv = halo < 4
+        hb = (halo & 3).astype(jnp.int32)
+        codes, kmer_valid = blocked_codes(
+            b2, v2, k, first_bases=hb[1:], first_valid=hv[1:])
         codes = jnp.where(kmer_valid, codes, 0)
         # seed: first complete k-mer of its block — the base k positions
-        # back is N or before the start
+        # back is N or before the (global) start
         flat_v = v2.reshape(-1)
         prev_k = jnp.concatenate(
-            [jnp.zeros((k,), bool), flat_v[:-k]]).reshape(nb, block)
+            [hv, flat_v[:-k]]).reshape(nb, block)
         seed = kmer_valid & ~prev_k
         ext = kmer_valid & ~seed
         a = jnp.where(ext, ts_q[codes], NEG)
@@ -155,9 +162,11 @@ def make_tr_pipeline(k: int, block: int = 8192, cand_blocks: int = 128):
         return a, b, Rm, a.shape[0] // Rm, pad_rows
 
     @jax.jit
-    def summaries(nbases, ks_q, ts_q):
+    def summaries(nbases, ks_q, ts_q, halo=None):
+        if halo is None:
+            halo = jnp.full((k,), 4, jnp.uint8)
         nb = nbases.shape[0] // block
-        _, _, _, a, b = _elements(nbases, ks_q, ts_q)
+        _, _, _, a, b = _elements(nbases, ks_q, ts_q, halo)
         ap, bp, Rm, G, _ = _padded(a, b, nb)
 
         def body(_, xs):
@@ -174,9 +183,11 @@ def make_tr_pipeline(k: int, block: int = 8192, cand_blocks: int = 128):
         return {kk: v.reshape(-1)[:nb] for kk, v in zip(keys, outs)}
 
     @jax.jit
-    def runstats(nbases, ks_q, ts_q, x32):
+    def runstats(nbases, ks_q, ts_q, x32, halo=None):
+        if halo is None:
+            halo = jnp.full((k,), 4, jnp.uint8)
         nb = nbases.shape[0] // block
-        _, _, _, a, b = _elements(nbases, ks_q, ts_q)
+        _, _, _, a, b = _elements(nbases, ks_q, ts_q, halo)
         ap, bp, Rm, G, pad_rows = _padded(a, b, nb)
         xp = x32
         if pad_rows:
@@ -200,10 +211,12 @@ def make_tr_pipeline(k: int, block: int = 8192, cand_blocks: int = 128):
     C = cand_blocks
 
     @jax.jit
-    def pull(nbases, idx):
+    def pull(nbases, idx, halo=None):
+        if halo is None:
+            halo = jnp.full((k,), 4, jnp.uint8)
         codes, seed, ext, _, _ = _elements(
             nbases, jnp.zeros((1 << (2 * k),), jnp.int32),
-            jnp.zeros((1 << (2 * k),), jnp.int32))
+            jnp.zeros((1 << (2 * k),), jnp.int32), halo)
         return codes[idx], seed[idx], ext[idx]
 
     class _TrPipeline:
@@ -297,6 +310,48 @@ def replay_tr_segment(
     return regions
 
 
+def _tr_candidacy(lead, mrun, tail, x_in, min_len, nb, block):
+    """Exact candidate-block mask from per-block positive-run stats.
+
+    Stitches cross-block runs: carry = length of the S_ub-positive run
+    ending exactly at the boundary before block b (0 if S_ub <= 0
+    there).  A region needs length >= min_len inside one such run, so
+    runs shorter than the gate provably emit nothing.  Each candidate
+    stretch is then extended left to the first block whose incoming
+    exact bound is <= 0 (S_true is provably 0 there), so the replay
+    starts at true state 0.
+    """
+    gate = max(min_len, 1)
+    cand = np.zeros(nb, bool)
+    carry = 0
+    run_start = 0
+    for bidx in range(nb):
+        li, mi, ti = int(lead[bidx]), int(mrun[bidx]), int(tail[bidx])
+        if carry > 0 and carry + li >= gate:
+            cand[run_start:bidx + 1] = True     # boundary-crossing run
+        if mi >= gate:
+            cand[bidx] = True                   # within-block run
+        if li == block:
+            # whole block positive: the boundary run continues
+            if carry == 0:
+                run_start = bidx
+            carry += block
+        elif ti > 0:
+            carry = ti
+            run_start = bidx
+        else:
+            carry = 0
+    if not cand.any():
+        return cand
+    for bidx in range(nb):
+        if cand[bidx] and (bidx == 0 or not cand[bidx - 1]):
+            j = bidx
+            while j > 0 and x_in[j] > 0:
+                j -= 1
+            cand[j:bidx] = True
+    return cand
+
+
 @dataclasses.dataclass
 class TrPipelineResult:
     regions: list
@@ -362,40 +417,9 @@ def finish_tr_spans(
         for v in pipe.runstats(nbases_dev, ks_q_dev, ts_q_dev,
                                jnp.asarray(x32)))
 
-    # stitch cross-block runs: carry = length of the S_ub-positive run
-    # ending exactly at the boundary before block b (0 if S_ub <= 0
-    # there), run_start = its first block
-    gate = max(min_len, 1)
-    cand = np.zeros(nb, bool)
-    carry = 0
-    run_start = 0
-    for bidx in range(nb):
-        li, mi, ti = int(lead[bidx]), int(mrun[bidx]), int(tail[bidx])
-        if carry > 0 and carry + li >= gate:
-            cand[run_start:bidx + 1] = True     # boundary-crossing run
-        if mi >= gate:
-            cand[bidx] = True                   # within-block run
-        if li == block:
-            # whole block positive: the boundary run continues
-            if carry == 0:
-                run_start = bidx
-            carry += block
-        elif ti > 0:
-            carry = ti
-            run_start = bidx
-        else:
-            carry = 0
+    cand = _tr_candidacy(lead, mrun, tail, x_in, min_len, nb, block)
     if not cand.any():
         return TrPipelineResult(regions=[], fallback=False)
-    # a replayed stretch must start where S_true == 0: extend each
-    # candidate stretch left to the first block whose incoming exact
-    # bound is <= 0 (S_true is provably 0 there)
-    for bidx in range(nb):
-        if cand[bidx] and (bidx == 0 or not cand[bidx - 1]):
-            j = bidx
-            while j > 0 and x_in[j] > 0:
-                j -= 1
-            cand[j:bidx] = True
     idx_list = np.nonzero(cand)[0]
     if idx_list.shape[0] > cand_blocks:
         return TrPipelineResult(regions=[], fallback=True)
@@ -430,5 +454,124 @@ def finish_tr_spans(
                 seq_id,
             )
         )
+        i = j + 1
+    return TrPipelineResult(regions=regions, fallback=False)
+
+
+def stream_tr_regions(
+    nbases, k: int, ks_table: np.ndarray, ts_table: np.ndarray,
+    min_len: int, seq_id: int = 1, chunk: int = 1 << 24,
+    block: int = 8192, cand_blocks: int = 128, pipe=None,
+) -> TrPipelineResult:
+    """CHUNKED transition-score caller for genome-scale sequences.
+
+    The single-call device path compiles one program per length bucket;
+    this streams arbitrary lengths through ONE compiled program triple
+    (summaries / runstats / pull at the fixed ``chunk`` shape — the
+    window engine's pattern, round-4 ROADMAP item).  Exactness across
+    chunk edges:
+
+      * each chunk carries the previous chunk's last k bytes as a halo,
+        so codes and the seed/ext masks are globally consistent;
+      * per-block int32 summaries concatenate across chunks and compose
+        in exact int64 (compose_summaries_exact) — the same
+        integer-sound screen as the one-shot path, so candidacy is
+        provably complete;
+      * candidate blocks are pulled per chunk (batched at the pull
+        program's capacity — no fallback mode at all) and replayed
+        stretch-wise with the reference-exact sequential caller.
+
+    Reference parity: find_kmer_tr_lr_regions (src/kmer_spans.c:329-395)
+    at per-call sizes the reference cannot hold (one 48 Mb scaffold per
+    call is its practical ceiling, test.R:128-140).
+    """
+    import jax.numpy as jnp
+
+    from .pipeline import compose_summaries_exact
+
+    nbases = np.asarray(nbases, np.uint8)
+    n0 = nbases.shape[0]
+    if chunk % block:
+        raise ValueError("chunk must be a multiple of block")
+    nchunks = max(1, -(-n0 // chunk))
+    ks_q, ts_q, _ = quantize_tr_tables(ks_table, ts_table, block)
+    if pipe is None:
+        pipe = make_tr_pipeline(k, block=block, cand_blocks=cand_blocks)
+    ksq_dev, tsq_dev = jnp.asarray(ks_q), jnp.asarray(ts_q)
+
+    def chunk_arr(ci):
+        a = np.full(chunk, 4, np.uint8)
+        seg = nbases[ci * chunk: min((ci + 1) * chunk, n0)]
+        a[: seg.shape[0]] = seg
+        return jnp.asarray(a)
+
+    def halo_arr(ci):
+        h = np.full(k, 4, np.uint8)
+        if ci > 0:
+            seg = nbases[ci * chunk - k: ci * chunk]
+            h[k - seg.shape[0]:] = seg
+        return jnp.asarray(h)
+
+    # pass 1: per-chunk integer summaries -> exact global composition
+    parts = {kk: [] for kk in ("tA", "tB", "maxA", "maxB")}
+    for ci in range(nchunks):
+        out = pipe.summaries(chunk_arr(ci), ksq_dev, tsq_dev, halo_arr(ci))
+        for kk in parts:
+            parts[kk].append(np.asarray(out[kk]))
+    tA, tB, maxA, maxB = (np.concatenate(parts[kk]) for kk in
+                          ("tA", "tB", "maxA", "maxB"))
+    _, block_last = compose_summaries_exact(tA, tB, maxA, maxB)
+    nb = block_last.shape[0]
+    x_in = np.concatenate([[np.int64(0)], block_last[:-1]])
+    x32 = np.clip(x_in, 0, 1 << 27).astype(np.int32)
+    bpc = chunk // block
+
+    # pass 2: per-block positive-run stats at the exact incoming states
+    st = ([], [], [])
+    for ci in range(nchunks):
+        outs = pipe.runstats(
+            chunk_arr(ci), ksq_dev, tsq_dev,
+            jnp.asarray(x32[ci * bpc: (ci + 1) * bpc]), halo_arr(ci))
+        for acc, v in zip(st, outs):
+            acc.append(np.asarray(v))
+    lead, mrun, tail = (np.concatenate(a).astype(np.int64) for a in st)
+    cand = _tr_candidacy(lead, mrun, tail, x_in, min_len, nb, block)
+    if not cand.any():
+        return TrPipelineResult(regions=[], fallback=False)
+
+    # pass 3: pull candidate blocks per chunk, batched at capacity
+    pulled = {}
+    for ci in range(nchunks):
+        loc = np.nonzero(cand[ci * bpc: (ci + 1) * bpc])[0]
+        if loc.size == 0:
+            continue
+        dev = chunk_arr(ci)
+        hal = halo_arr(ci)
+        for s0 in range(0, loc.size, pipe.cand_blocks):
+            sub = loc[s0: s0 + pipe.cand_blocks]
+            idx_pad = np.zeros(pipe.cand_blocks, np.int32)
+            idx_pad[: sub.size] = sub
+            c_, s_, e_ = pipe.pull(dev, jnp.asarray(idx_pad), hal)
+            c_, s_, e_ = (np.asarray(v)[: sub.size] for v in (c_, s_, e_))
+            for r, lb in enumerate(sub):
+                pulled[ci * bpc + int(lb)] = (c_[r], s_[r], e_[r])
+
+    ks64 = np.asarray(ks_table, np.float64)
+    ts64 = np.asarray(ts_table, np.float64)
+    regions = []
+    i = 0
+    while i < nb:
+        if not cand[i]:
+            i += 1
+            continue
+        j = i
+        while j + 1 < nb and cand[j + 1]:
+            j += 1
+        codes = np.concatenate([pulled[b][0] for b in range(i, j + 1)])
+        seed = np.concatenate([pulled[b][1] for b in range(i, j + 1)])
+        ext = np.concatenate([pulled[b][2] for b in range(i, j + 1)])
+        regions.extend(replay_tr_segment(
+            ks64[codes], seed=seed, ext=ext, ts=ts64[codes],
+            base_pos=i * block, min_len=min_len, seq_id=seq_id))
         i = j + 1
     return TrPipelineResult(regions=regions, fallback=False)

@@ -132,3 +132,37 @@ def test_tr_screen_sound_at_f32_knife_edge():
     assert len(expect) >= 1  # the knife-edge region genuinely exists
     assert [(r[1], r[2], r[3]) for r in res.regions] == \
         [(e[1], e[2], e[3]) for e in expect]
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_stream_tr_matches_oracle_and_oneshot(seed):
+    """Chunked tr caller (halos + global int64 composition + batched
+    pulls) == the sequential oracle AND the one-shot device path —
+    positions and bit-identical f64 scores, islands planted across
+    chunk edges."""
+    from kmer_spans_tpu.spans.tr_pipeline import stream_tr_regions
+
+    rng = np.random.default_rng(60 + seed)
+    seq = random_seq(rng, 30_000, n_prob=0.008)
+    s = list(seq)
+    # islands straddling the 4096-chunk edges (and one mid-chunk)
+    for pos in (4060, 8150, 12270, 20470):
+        s[pos : pos + 120] = "CG" * 60
+    seq = "".join(s)
+    ks, ts = _tables(2)
+    min_len = 20
+    p = pack(seq)
+    nb = np.where(p.valid, p.bases, 4).astype(np.uint8)
+    res = stream_tr_regions(nb, 2, ks, ts, min_len, seq_id=1,
+                            chunk=4096, block=512, cand_blocks=4)
+    assert not res.fallback
+    expect = find_tr_regions(seq, 1, 2, ks, ts, min_len)
+    assert sorted((r[1], r[2], r[3]) for r in res.regions) == \
+        sorted((e[1], e[2], e[3]) for e in expect)
+    # (cand=128: this input needs more candidate blocks than the default
+    # test capacity; the streaming path has no capacity limit at all —
+    # pulls batch at the program's width)
+    one = _run(seq, 2, ks, ts, min_len, cand=128)
+    assert not one.fallback
+    assert sorted(res.regions) == sorted(one.regions)
+    assert len(res.regions) >= 4
