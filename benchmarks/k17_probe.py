@@ -29,7 +29,6 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from kmer_spans_tpu.oracle.reference import count_spectrum_sparse
     from kmer_spans_tpu.encoding import PackedSeq
     from kmer_spans_tpu.spans.pipeline import (
         finish_wide_spans,
@@ -48,11 +47,13 @@ def main():
     rng = np.random.default_rng(17)
     nb = make_genome(n, rng)
 
+    from kmer_spans_tpu.utils import native
+
     t0 = time.time()
-    ucodes, ucounts, n_words = count_spectrum_sparse(
-        PackedSeq(bases=nb & 3, valid=nb < 4), k)
+    ucodes, ucounts, n_words = native.host_spectrum_sparse(nb, k)
     log(f"host sparse recount: {time.time()-t0:.1f}s "
-        f"({n_words:,} kmers, {len(ucodes):,} distinct)")
+        f"({n_words:,} kmers, {len(ucodes):,} distinct, "
+        f"native={native.available()})")
 
     fn = make_wide_span_pipeline(k, block=block, cand_blocks=cand)
     t0 = time.time()

@@ -488,10 +488,12 @@ def kmer_wide_regions(
         nb[~p.valid] = 4
         arr[pos : pos + p.n] = nb
         pos += p.n
-    from .oracle.reference import count_spectrum_sparse
+    from .utils import native
 
     cat = PackedSeq(bases=arr & 3, valid=arr < 4)
-    ucodes, ucounts, n_words = count_spectrum_sparse(cat, k)
+    # native C sparse counter when available (code-space-partitioned
+    # threads; the np.unique recount was the wide wall at genome scale)
+    ucodes, ucounts, n_words = native.host_spectrum_sparse(arr, k)
     glob_regions = None
     if backend == "jax":
         import jax.numpy as jnp

@@ -63,13 +63,21 @@ def count_spectrum(seq, k: int, counts: np.ndarray | None = None):
     if counts is None:
         counts = np.zeros(size, dtype=np.int64)
     n_words = 0
+    # batch segment codes into one bincount per sequence: a per-segment
+    # bincount allocates a 4^k array per segment, which made many-N
+    # inputs quadratic-ish (33 s for 12k segments at k=10); addition is
+    # commutative over segments so this is outcome-identical
+    parts = []
     for a, b in segments(p.valid):
         seg_len = b - a + 1
         if seg_len < k:
             continue
         codes = _segment_codes(p.bases, a, b, k)
-        counts += np.bincount(codes, minlength=size).astype(counts.dtype)
+        parts.append(codes)
         n_words += codes.shape[0]
+    if parts:
+        allc = parts[0] if len(parts) == 1 else np.concatenate(parts)
+        counts += np.bincount(allc, minlength=size).astype(counts.dtype)
     return counts, n_words
 
 

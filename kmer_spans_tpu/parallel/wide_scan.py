@@ -341,8 +341,7 @@ def wide_low_comp_regions(
     exact spans.  nbases: uint8 genome (4 = N), padded internally."""
     import jax.numpy as jnp
 
-    from ..encoding import PackedSeq
-    from ..oracle.reference import count_spectrum_sparse
+    from ..utils import native
 
     n_dev = mesh.devices.size
     n0 = nbases.shape[0]
@@ -356,7 +355,6 @@ def wide_low_comp_regions(
     with mesh:
         out = fn(jnp.asarray(nbases & 3), jnp.asarray(nbases < 4),
                  jnp.float32(thr))
-    spectrum = count_spectrum_sparse(
-        PackedSeq(bases=nbases & 3, valid=nbases < 4), k)
+    spectrum = native.host_spectrum_sparse(nbases, k)
     return finish_wide_sharded(
         out, n, k, thr, min_width, min_score, spectrum, block)

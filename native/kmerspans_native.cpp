@@ -411,6 +411,147 @@ int64_t ks_count_mt(const uint8_t* nb, int64_t n, int32_t k,
 // distinct values (caller retries with larger cap if return > cap; pm
 // is always fully written).
 // ---------------------------------------------------------------------------
+// ---------------------------------------------------------------------------
+// Cache-staged spectrum count for mid-size tables (k ~ 11..13, table
+// 4-256 MB): the plain counter's wall is the random table miss
+// (~25 ns/update on this class of host).  Threads split the GENOME
+// (disjoint end-position ranges, k-1 warm-up overlap), keep PRIVATE
+// tables, and stage codes into 256 per-high-byte buckets; a full bucket
+// flushes into one 4^k/256 table slice, which is L2-resident — updates
+// become cache hits.  Tables merge at the end (streaming adds).
+// Returns total words counted.
+// ---------------------------------------------------------------------------
+int64_t ks_count_radix(const uint8_t* nb, int64_t n, int32_t k,
+                       int32_t* counts, int32_t nthreads) {
+    const uint64_t mask = (1ull << (2 * k)) - 1;
+    const uint64_t size = 1ull << (2 * k);
+    const int32_t bshift = 2 * k - 8;  // bucket = code >> bshift
+    if (nthreads < 1) nthreads = 1;
+    const int64_t STAGE = 2048;
+    std::vector<std::vector<int32_t>> tables(nthreads);
+    std::vector<int64_t> words_t(nthreads, 0);
+    std::vector<std::thread> ths;
+    for (int32_t t = 0; t < nthreads; ++t) {
+        const int64_t lo = n / nthreads * t;
+        const int64_t hi = (t == nthreads - 1) ? n : n / nthreads * (t + 1);
+        ths.emplace_back([=, &tables, &words_t]() {
+            std::vector<int32_t>& tab = tables[t];
+            tab.assign(size, 0);
+            std::vector<uint32_t> stage(256 * STAGE);
+            std::vector<int32_t> fill(256, 0);
+            int64_t w = 0;
+            // warm up k-1 before lo so k-mers ENDING in [lo, hi) count
+            int64_t i = lo - (k - 1);
+            if (i < 0) i = 0;
+            uint64_t off = 0;
+            int32_t have = 0;
+            auto flush = [&](int32_t b) {
+                int32_t* dst = tab.data() + ((int64_t)b << bshift);
+                const uint32_t* src = stage.data() + (int64_t)b * STAGE;
+                const uint64_t m = (1ull << bshift) - 1;
+                for (int32_t j = 0; j < fill[b]; ++j)
+                    ++dst[src[j] & m];
+                fill[b] = 0;
+            };
+            while (i < hi) {
+                if (nb[i] == 4) { have = 0; off = 0; ++i; continue; }
+                off = ((off << 2) | nb[i]) & mask;
+                ++i;
+                if (++have >= k && i - 1 >= lo) {
+                    ++w;
+                    const int32_t b = (int32_t)(off >> bshift);
+                    stage[(int64_t)b * STAGE + fill[b]] = (uint32_t)off;
+                    if (++fill[b] == STAGE) flush(b);
+                }
+            }
+            for (int32_t b = 0; b < 256; ++b) flush(b);
+            words_t[t] = w;
+        });
+    }
+    for (auto& th : ths) th.join();
+    int64_t words = 0;
+    for (int32_t t = 0; t < nthreads; ++t) words += words_t[t];
+    // merge private tables into the output (parallel over table halves)
+    std::vector<std::thread> ms;
+    for (int32_t t = 0; t < nthreads; ++t) {
+        ms.emplace_back([=, &tables]() {
+            const uint64_t a = size / nthreads * t;
+            const uint64_t b = (t == nthreads - 1)
+                ? size : size / nthreads * (t + 1);
+            for (int32_t s = 0; s < nthreads; ++s) {
+                const int32_t* src = tables[s].data();
+                for (uint64_t c = a; c < b; ++c) counts[c] += src[c];
+            }
+        });
+    }
+    for (auto& th : ms) th.join();
+    return words;
+}
+
+// ---------------------------------------------------------------------------
+// SPARSE spectrum for wide k (16 <= k <= 31): distinct int64 codes +
+// counts, ascending — the host recount feeding the wide-pipeline replay
+// (a dense table would be 68 GB at k=17).  Threads partition the CODE
+// space by top bits (each re-walks the genome, as ks_count_mt — the
+// rolling walk is cheap), sort their partitions independently, and the
+// partitions concatenate ordered.  Returns the number of distinct codes
+// (only the first `cap` entries are written — the caller's buffers are
+// safe at cap = n since distinct <= words <= n); *n_words_out gets the
+// total counted k-mers.
+// ---------------------------------------------------------------------------
+int64_t ks_count_sparse(const uint8_t* nb, int64_t n, int32_t k,
+                        int64_t* ucodes, int64_t* ucounts, int64_t cap,
+                        int64_t* n_words_out, int32_t nthreads) {
+    const uint64_t mask = (k >= 32) ? ~0ull : ((1ull << (2 * k)) - 1);
+    if (nthreads < 1) nthreads = 1;
+    std::vector<std::vector<int64_t>> part(nthreads);
+    std::vector<int64_t> words_t(nthreads, 0);
+    std::vector<std::thread> ths;
+    for (int32_t t = 0; t < nthreads; ++t) {
+        const uint64_t lo = (mask + 1) / nthreads * t;
+        const uint64_t hi = (t == nthreads - 1)
+            ? mask + 1 : (mask + 1) / nthreads * (t + 1);
+        ths.emplace_back([=, &part, &words_t]() {
+            std::vector<int64_t>& v = part[t];
+            int64_t w = 0;
+            int64_t i = 0;
+            while (i < n) {
+                while (i < n && nb[i] == 4) ++i;
+                uint64_t off = 0;
+                int32_t have = 0;
+                while (i < n && nb[i] != 4) {
+                    off = ((off << 2) | nb[i]) & mask;
+                    ++i;
+                    if (++have >= k) {
+                        ++w;
+                        if (off >= lo && off < hi)
+                            v.push_back((int64_t)off);
+                    }
+                }
+            }
+            std::sort(v.begin(), v.end());
+            words_t[t] = w;
+        });
+    }
+    for (auto& th : ths) th.join();
+    *n_words_out = words_t.empty() ? 0 : words_t[0];
+    int64_t nd = 0;
+    for (int32_t t = 0; t < nthreads; ++t) {
+        const std::vector<int64_t>& v = part[t];
+        for (size_t i = 0; i < v.size();) {
+            size_t j = i;
+            while (j < v.size() && v[j] == v[i]) ++j;
+            if (nd < cap) {
+                ucodes[nd] = v[i];
+                ucounts[nd] = (int64_t)(j - i);
+            }
+            ++nd;
+            i = j;
+        }
+    }
+    return nd;
+}
+
 int64_t ks_mass_of_codes(const int32_t* counts, int64_t size,
                          const int64_t* q, int64_t nq, int64_t* pm,
                          int64_t* vh_vals, int64_t* vh_ncodes,

@@ -21,6 +21,9 @@ int64_t ks_pack_fasta_body(const uint8_t*, int64_t, uint8_t*);
 int64_t ks_replay_packed(const uint32_t*, const uint8_t*, int64_t, int64_t,
                          int32_t, const double*, double, int64_t, double,
                          int64_t, int64_t*, int64_t*, double*, int64_t);
+int64_t ks_count_sparse(const uint8_t*, int64_t, int32_t, int64_t*,
+                        int64_t*, int64_t, int64_t*, int32_t);
+int64_t ks_count_radix(const uint8_t*, int64_t, int32_t, int32_t*, int32_t);
 }
 
 static uint64_t lcg_state = 42;
@@ -155,6 +158,81 @@ int main() {
             }
         }
         printf("replay selftest ok: %lld region(s)\n", (long long)nr2);
+    }
+
+    // sparse wide-k counter: dense cross-check at k=8 (every distinct
+    // code and count must match ks_count), k=17 totals + repeat counts,
+    // and single- vs multi-thread agreement
+    {
+        std::vector<int32_t> dense((size_t)1 << 16, 0);
+        int64_t wd = ks_count(g.data(), n, 8, dense.data());
+        std::vector<int64_t> uc(n), un(n);
+        int64_t nw = 0;
+        int64_t nd = ks_count_sparse(g.data(), n, 8, uc.data(), un.data(),
+                                     n, &nw, 3);
+        if (nw != wd) {
+            fprintf(stderr, "sparse words %lld != %lld\n",
+                    (long long)nw, (long long)wd);
+            return 1;
+        }
+        int64_t seen = 0;
+        for (int64_t i = 0; i < nd; ++i) {
+            if (i && uc[i] <= uc[i - 1]) {
+                fprintf(stderr, "sparse codes not ascending\n");
+                return 1;
+            }
+            if (dense[uc[i]] != un[i]) {
+                fprintf(stderr, "sparse count mismatch at %lld\n",
+                        (long long)uc[i]);
+                return 1;
+            }
+            seen += un[i];
+        }
+        if (seen != wd) {
+            fprintf(stderr, "sparse mass %lld != %lld\n",
+                    (long long)seen, (long long)wd);
+            return 1;
+        }
+        // k=17 (wide codes: 34 bits) with 1 and 4 threads byte-identical
+        std::vector<int64_t> uc1(n), un1(n), uc4(n), un4(n);
+        int64_t nw1 = 0, nw4 = 0;
+        int64_t nd1 = ks_count_sparse(g.data(), n, 17, uc1.data(),
+                                      un1.data(), n, &nw1, 1);
+        int64_t nd4 = ks_count_sparse(g.data(), n, 17, uc4.data(),
+                                      un4.data(), n, &nw4, 4);
+        if (nd1 != nd4 || nw1 != nw4 ||
+            memcmp(uc1.data(), uc4.data(), nd1 * 8) != 0 ||
+            memcmp(un1.data(), un4.data(), nd1 * 8) != 0) {
+            fprintf(stderr, "sparse k17 thread mismatch\n");
+            return 1;
+        }
+        // the planted AG island must give a repeated 17-mer
+        int64_t mx = 0;
+        for (int64_t i = 0; i < nd1; ++i) if (un1[i] > mx) mx = un1[i];
+        if (mx < 100) {
+            fprintf(stderr, "sparse k17 max count %lld\n", (long long)mx);
+            return 1;
+        }
+        printf("sparse selftest ok: k8 %lld distinct, k17 %lld distinct\n",
+               (long long)nd, (long long)nd1);
+    }
+
+    // cache-staged radix counter == plain counter, k=11, 1 and 3 threads
+    // (exercises warm-up overlap at thread seams, bucket flush tails,
+    // and the private-table merge)
+    {
+        std::vector<int32_t> ref((size_t)1 << 22, 0), rad((size_t)1 << 22);
+        int64_t wr = ks_count(g.data(), n, 11, ref.data());
+        for (int32_t th : {1, 3}) {
+            std::fill(rad.begin(), rad.end(), 0);
+            int64_t wx = ks_count_radix(g.data(), n, 11, rad.data(), th);
+            if (wx != wr || memcmp(ref.data(), rad.data(),
+                                   ref.size() * 4) != 0) {
+                fprintf(stderr, "radix mismatch threads=%d\n", th);
+                return 1;
+            }
+        }
+        printf("radix selftest ok: %lld words\n", (long long)wr);
     }
 
     printf("selftest ok: %lld region(s), scan counts %lld\n",

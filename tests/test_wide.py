@@ -47,6 +47,24 @@ def test_sparse_mass_matches_dense_oracle():
     assert sr[int(ucodes[3])] == dense_ranks[ucodes[3]]
 
 
+def test_native_sparse_counter_matches_numpy():
+    """ks_count_sparse (threads partition code space, sort, merge) ==
+    the numpy sparse oracle, codes and counts, at k=17 and k=8."""
+    from kmer_spans_tpu.utils import native
+
+    rng = np.random.default_rng(77)
+    seq = _plant(random_seq(rng, 50_000, n_prob=0.01),
+                 [(7000, "GATTACA", 150)])
+    p = pack(seq)
+    nb = np.where(p.valid, p.bases, 4).astype(np.uint8)
+    for k in (8, 17):
+        uc_np, un_np, nw_np = count_spectrum_sparse(seq, k)
+        uc, un, nw = native.host_spectrum_sparse(nb, k)
+        assert nw == nw_np
+        np.testing.assert_array_equal(uc, uc_np)
+        np.testing.assert_array_equal(un, un_np)
+
+
 def test_blocked_codes_wide_matches_numpy():
     """Device (hi, lo) pair codes == int64 numpy rolling codes, k=17."""
     from kmer_spans_tpu.ops.blocked import blocked_codes_wide
