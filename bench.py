@@ -163,6 +163,13 @@ def bench_pipeline(nbases, k, thr, min_w, min_s, block, cand, reps, chain):
     rc = pool.submit(recount) if recount else None
     for _ in range(p_reps - 1):
         cur = fn(dev, thr32)
+        # start prev's D2H on the transfer lane before blocking on it, so
+        # the pull rides under cur's compute (without this the tunnel
+        # serializes compute -> pull -> compute: pipelined == serial)
+        try:
+            prev.copy_to_host_async()
+        except Exception:  # noqa: BLE001 — backend may not support it
+            pass
         regions = finish(prev)
         if rc is not None:
             rc.result()

@@ -80,6 +80,10 @@ def _load():
         lib.ks_count_radix.argtypes = [
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32,
             ctypes.c_void_p, ctypes.c_int32]
+        lib.ks_rank_chain.restype = ctypes.c_int64
+        lib.ks_rank_chain.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_double,
+            ctypes.c_void_p]
         _lib = lib
     except Exception:
         _lib = None
@@ -184,6 +188,21 @@ def host_spectrum_sparse(
 
     p = PackedSeq(bases=nbases & 3, valid=nbases < 4)
     return count_spectrum_sparse(p, k)
+
+
+def rank_chain(counts: np.ndarray, total: int) -> np.ndarray | None:
+    """The reference's exact f64 rank chain over a dense spectrum via the
+    sort-free native kernel (value histogram + per-value cursors; the
+    numpy argsort was 2.1 s/rep at k=12, this is ~0.15 s).  Counts must
+    fit int32.  None if the native library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    counts = np.ascontiguousarray(counts, dtype=np.int32)
+    ranks = np.empty(counts.shape[0], dtype=np.float64)
+    lib.ks_rank_chain(counts.ctypes.data, counts.shape[0], float(total),
+                      ranks.ctypes.data)
+    return ranks
 
 
 def replay_scores(

@@ -393,6 +393,82 @@ int64_t ks_count_mt(const uint8_t* nb, int64_t n, int32_t k,
 }
 
 // ---------------------------------------------------------------------------
+// The reference's EXACT f64 rank chain over a dense spectrum, without
+// an argsort (rank_kmers_w, src/kmer_spans.c:189-202): sort order is
+// (count asc, code asc) and equal counts contribute bit-identical f64
+// terms, so the fold sequence is determined by the VALUE HISTOGRAM and
+// each code's fold position by a per-value running cursor over codes in
+// index order.  Zero-count codes sort first and fold 0.0 (exact no-ops)
+// -> rank 0.  Three streaming passes, no 16.7M-element sort (the numpy
+// chain's argsort was 2.1 s/rep at k=12; this is ~0.15 s).
+// Values >= VCAP use a small sorted side table (rare).
+// ---------------------------------------------------------------------------
+int64_t ks_rank_chain(const int32_t* counts, int64_t size, double total,
+                      double* ranks) {
+    const int64_t VCAP = 1 << 16;
+    std::vector<int64_t> h(VCAP, 0);
+    std::vector<int64_t> bigv;
+    for (int64_t c = 0; c < size; ++c) {
+        int32_t v = counts[c];
+        if (v <= 0) continue;
+        if (v < VCAP) ++h[v]; else bigv.push_back(v);
+    }
+    std::sort(bigv.begin(), bigv.end());
+    // distinct values ascending with multiplicities
+    std::vector<int64_t> vals, mult;
+    for (int64_t v = 1; v < VCAP; ++v)
+        if (h[v]) { vals.push_back(v); mult.push_back(h[v]); }
+    for (size_t i = 0; i < bigv.size();) {
+        size_t j = i;
+        while (j < bigv.size() && bigv[j] == bigv[i]) ++j;
+        vals.push_back(bigv[i]); mult.push_back((int64_t)(j - i));
+        i = j;
+    }
+    // the fold over all NONZERO terms, value by value (left-to-right f64,
+    // the reference's accumulation order), plus each value group's start
+    int64_t nnz = 0;
+    for (int64_t m : mult) nnz += m;
+    std::vector<double> fold(nnz);     // fold[j] = sum of first j+1 terms
+    std::vector<int64_t> start_of(vals.size());
+    {
+        double acc = 0.0;
+        int64_t j = 0;
+        const double inv = total > 0 ? 1.0 / total : 0.0;
+        for (size_t g = 0; g < vals.size(); ++g) {
+            start_of[g] = j;
+            const double t = (double)vals[g] * inv;
+            for (int64_t r = 0; r < mult[g]; ++r) {
+                acc += t;
+                fold[j++] = acc;
+            }
+        }
+    }
+    // per-value cursors: rank[c] = fold value of the term BEFORE c
+    // (exclusive prefix) = fold[pos-1], 0.0 at pos 0
+    std::vector<int64_t> cur(VCAP, 0);
+    std::unordered_map<int64_t, int64_t> curbig;
+    std::unordered_map<int64_t, int64_t> startbig;
+    for (size_t g = 0; g < vals.size(); ++g) {
+        if (vals[g] < VCAP) cur[vals[g]] = start_of[g];
+        else startbig[vals[g]] = start_of[g];
+    }
+    for (int64_t c = 0; c < size; ++c) {
+        int32_t v = counts[c];
+        if (v <= 0) { ranks[c] = 0.0; continue; }
+        int64_t pos;
+        if (v < VCAP) pos = cur[v]++;
+        else {
+            auto it = curbig.find(v);
+            if (it == curbig.end())
+                it = curbig.emplace(v, startbig[v]).first;
+            pos = it->second++;
+        }
+        ranks[c] = pos == 0 ? 0.0 : fold[pos - 1];
+    }
+    return nnz;
+}
+
+// ---------------------------------------------------------------------------
 // Exact integer mass (rank numerator) for SORTED UNIQUE query codes,
 // plus the count-value histogram — the k >= 14 replay path: the host
 // never materializes a 4^k f64 rank table (8 GB at k=15); instead

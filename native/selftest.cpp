@@ -5,6 +5,7 @@
 // reproduce; `make sanitize` builds this harness with
 // -fsanitize=address,undefined and any violation aborts with a report.
 
+#include <algorithm>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
@@ -24,6 +25,7 @@ int64_t ks_replay_packed(const uint32_t*, const uint8_t*, int64_t, int64_t,
 int64_t ks_count_sparse(const uint8_t*, int64_t, int32_t, int64_t*,
                         int64_t*, int64_t, int64_t*, int32_t);
 int64_t ks_count_radix(const uint8_t*, int64_t, int32_t, int32_t*, int32_t);
+int64_t ks_rank_chain(const int32_t*, int64_t, double, double*);
 }
 
 static uint64_t lcg_state = 42;
@@ -233,6 +235,36 @@ int main() {
             }
         }
         printf("radix selftest ok: %lld words\n", (long long)wr);
+    }
+
+    // sort-free rank chain == the (count asc, index asc) sequential f64
+    // fold, incl. zeros (rank 0), a big value (> VCAP side table), and
+    // ties (distinct ranks, index order)
+    {
+        const int64_t m = 4096;
+        std::vector<int32_t> c(m);
+        for (int64_t i = 0; i < m; ++i) c[i] = (int32_t)(lcg_state >> 40 & 15),
+            lcg_state = lcg_state * 6364136223846793005ull + 1442695040888963407ull;
+        c[7] = 0; c[8] = 0; c[100] = 1 << 20;  // zeros + a huge value
+        double total = 0;
+        for (int64_t i = 0; i < m; ++i) total += c[i];
+        std::vector<double> rk(m);
+        ks_rank_chain(c.data(), m, total, rk.data());
+        // reference fold: stable sort by (count, index), accumulate
+        std::vector<int64_t> idx(m);
+        for (int64_t i = 0; i < m; ++i) idx[i] = i;
+        std::sort(idx.begin(), idx.end(), [&](int64_t a, int64_t b) {
+            return c[a] != c[b] ? c[a] < c[b] : a < b; });
+        double acc = 0.0;
+        for (int64_t j = 0; j < m; ++j) {
+            if (rk[idx[j]] != acc) {
+                fprintf(stderr, "rank chain mismatch at %lld\n",
+                        (long long)j);
+                return 1;
+            }
+            acc += (double)c[idx[j]] / total;
+        }
+        printf("rank chain selftest ok\n");
     }
 
     printf("selftest ok: %lld region(s), scan counts %lld\n",

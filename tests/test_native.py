@@ -155,3 +155,20 @@ def test_mass_of_codes_matches_oracle_chain():
     assert np.array_equal(got, ranks[q])
     # value hist is consistent: code multiplicities sum to 4^k
     assert int(vn.sum()) == size
+
+
+def test_native_rank_chain_bit_identical():
+    """ks_rank_chain (sort-free: value histogram + per-value cursors) ==
+    the numpy argsort chain, bit for bit — zeros, ties, a > 2^16 value."""
+    from kmer_spans_tpu.oracle import weighted_ranks
+    from kmer_spans_tpu.utils import native
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(9)
+    counts = rng.poisson(3, 1 << 12).astype(np.int64)
+    counts[5] = 0
+    counts[77] = 1 << 18
+    total = int(counts.sum())
+    got = native.rank_chain(counts, total)
+    np.testing.assert_array_equal(got, weighted_ranks(counts, float(total)))
