@@ -1020,10 +1020,11 @@ def finish_spans(
     ranks = None
     rank_lookup = None
     if size >= (1 << 26) and native.available():
-        # k >= 13: a 4^k f64 chain table is 0.5-8 GB and its argsort
-        # seconds-to-tens-of-seconds PER CALL — instead compute exact
-        # chain ranks for just the candidate codes (native mass pass +
-        # streamed value-hist fold; bit-identical, tests/test_native.py)
+        # k >= 13: a 4^k f64 chain table is 0.5-8 GB and even the
+        # sort-free native chain is miss-bound filling it (3.6 s at
+        # 4^13) — instead compute exact chain ranks for just the
+        # candidate codes (native mass pass + native streaming fold;
+        # bit-identical, tests/test_native.py)
         if codes is None:
             rows_all = sorted(
                 {pos_in_pull[b] for b in np.nonzero(cand)[0]})

@@ -83,6 +83,15 @@ def chain_ranks_from_mass(
         h = gmass // v_vals  # codes per group
         if (h * v_vals != gmass).any():
             raise ValueError("value_hist is not a mass histogram")
+    from ..utils import native
+
+    if int(h.sum()) >= (1 << 22):
+        # the C streaming fold (one pass; the chunked numpy fold below is
+        # 4-6 s at 100M terms) — bit-identical, tests/test_native.py
+        out = native.chain_from_hist(
+            v_vals, h, float(total), pm.reshape(-1))
+        if out is not None:
+            return out.reshape(pm.shape)
     below = np.concatenate([[0], np.cumsum(gmass)[:-1]])  # mass before group
     nnz_before = np.concatenate([[0], np.cumsum(h)[:-1]])
     g = np.searchsorted(below, pm, side="right") - 1

@@ -469,6 +469,68 @@ int64_t ks_rank_chain(const int32_t* counts, int64_t size, double total,
 }
 
 // ---------------------------------------------------------------------------
+// Exact f64 chain ranks for queried MASS values given the sparse value
+// histogram (stats.ranks.chain_ranks_from_mass, in C): the fold over
+// all nonzero terms streams once; each query's fold position follows
+// from its mass (p = nnz_before(group) + (pm - below(group)) / value).
+// Queries are answered in p-order via an internal sort.  Returns 0, or
+// -1 if some pm is not a valid cumulative-mass value.
+// The numpy fold (np.add.accumulate in chunks) was 4-6 s at ~60-100M
+// terms; this is a single streaming pass.
+// ---------------------------------------------------------------------------
+int64_t ks_chain_from_hist(const int64_t* v_vals, const int64_t* n_codes,
+                           int64_t nv, double total,
+                           const int64_t* pm, int64_t nq, double* out) {
+    if (nv == 0) {
+        for (int64_t i = 0; i < nq; ++i) out[i] = 0.0;
+        return 0;
+    }
+    std::vector<int64_t> below(nv + 1), nnzb(nv + 1);
+    below[0] = 0; nnzb[0] = 0;
+    for (int64_t g = 0; g < nv; ++g) {
+        below[g + 1] = below[g] + v_vals[g] * n_codes[g];
+        nnzb[g + 1] = nnzb[g] + n_codes[g];
+    }
+    // fold position per query
+    std::vector<std::pair<int64_t, int64_t>> q(nq);  // (p, query index)
+    for (int64_t i = 0; i < nq; ++i) {
+        int64_t m = pm[i];
+        // group g with below[g] <= m < below[g+1] (last g if m == total)
+        int64_t lo = 0, hi = nv;
+        while (lo < hi) {
+            int64_t mid = (lo + hi) / 2;
+            if (below[mid + 1] <= m) lo = mid + 1; else hi = mid;
+        }
+        if (lo >= nv) { if (m != below[nv]) return -1; lo = nv - 1; }
+        int64_t r = m - below[lo];
+        if (lo >= 0 && r % v_vals[lo]) return -1;
+        q[i] = { nnzb[lo] + (lo >= 0 ? r / v_vals[lo] : 0), i };
+    }
+    std::sort(q.begin(), q.end());
+    // stream the fold, recording requested exclusive prefixes
+    double acc = 0.0;
+    int64_t done = 0, qi = 0;
+    while (qi < nq && q[qi].first == 0) out[q[qi++].second] = 0.0;
+    const double inv = total > 0 ? 1.0 / total : 0.0;
+    for (int64_t g = 0; g < nv && qi < nq; ++g) {
+        const double t = (double)v_vals[g] * inv;
+        int64_t left = n_codes[g];
+        while (left > 0 && qi < nq) {
+            int64_t next = q[qi].first - done;  // terms until next answer
+            if (next > left) break;
+            for (int64_t s = 0; s < next; ++s) acc += t;
+            done += next; left -= next;
+            while (qi < nq && q[qi].first == done)
+                out[q[qi++].second] = acc;
+        }
+        for (int64_t s = 0; s < left; ++s) acc += t;
+        done += left;
+    }
+    while (qi < nq && q[qi].first == done) out[q[qi++].second] = acc;
+    return 0;
+}
+
+// ---------------------------------------------------------------------------
 // Exact integer mass (rank numerator) for SORTED UNIQUE query codes,
 // plus the count-value histogram — the k >= 14 replay path: the host
 // never materializes a 4^k f64 rank table (8 GB at k=15); instead
