@@ -146,6 +146,23 @@ def cmd_stream(args):
         print(metrics.dump(), file=sys.stderr)
 
 
+def cmd_wide(args):
+    from . import api
+
+    names, seqs = _load_seqs(args.fasta, args.min_l)
+    res = api.kmer_wide_regions(
+        seqs, args.k, args.min_width, args.min_score, thr=args.thr,
+        backend=args.backend)
+    w = sys.stdout
+    w.write("seq\tbeg\tend\tscore\n")
+    for r in res.regions:
+        w.write(f"{names[r['seq_id']]}\t{r['beg']}\t{r['end']}\t"
+                f"{r['score']:.6f}\n")
+    print(f"# {len(res.regions)} regions, {res.n_words} k-mers, "
+          f"{len(res.spectrum_codes)} distinct (sparse spectrum)",
+          file=sys.stderr)
+
+
 def cmd_regions(args):
     from . import api
 
@@ -255,6 +272,15 @@ def main(argv=None):
     sp.add_argument("--metrics", action="store_true",
                     help="print per-phase metrics JSON to stderr")
     sp.set_defaults(fn=cmd_stream)
+
+    sp = sub.add_parser(
+        "wide", help="span calling at wide k (16..23; sparse spectrum)")
+    _add_common(sp)
+    sp.add_argument("--thr", type=float, default=0.75)
+    sp.add_argument("--min-width", type=int, default=100)
+    sp.add_argument("--min-score", type=float, default=20.0)
+    sp.add_argument("--min-l", type=int, default=0)
+    sp.set_defaults(fn=cmd_wide)
 
     sp = sub.add_parser("regions", help="arbitrary-weight span calling")
     _add_common(sp)

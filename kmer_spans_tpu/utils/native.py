@@ -140,13 +140,15 @@ def host_spectrum(
             threads = min(os.cpu_count() or 1, 4)
         nbases = np.ascontiguousarray(nbases, dtype=np.uint8)
         counts = np.zeros(1 << (2 * k), dtype=np.int32)
-        if 10 <= k <= 13 and nbases.shape[0] >= (1 << (2 * k - 3)):
-            # cache-staged radix counter: per-thread tables + 256-bucket
-            # write-combining turn the 4-256 MB table's random misses
-            # into L2 hits — measured 3x over ks_count_mt at k=12/200Mb
-            # (1.26s vs 3.91s on the 2-core dev host).  Only when the
-            # genome is big enough that zeroing nthreads private tables
-            # amortizes (n >= 4^k/8)
+        if 10 <= k <= 14 and nbases.shape[0] >= (1 << (2 * k - 3)):
+            # cache-staged radix counter: per-bucket write-combining into
+            # L2-resident shared-table slices (atomic adds) — measured
+            # 2.7x/2.1x/1.6x over ks_count_mt at k=12/13/14, 100 Mb.
+            # NOT for k=15: with n << 4^k each count touches a unique
+            # line, there is no locality to exploit, and the staging
+            # indirection only adds misses (111 s vs mt's 24 s).  Only
+            # when the genome is big enough for slices to get multiple
+            # hits (n >= 4^k/8)
             n = lib.ks_count_radix(nbases.ctypes.data, nbases.shape[0],
                                    k, counts.ctypes.data, threads)
         else:

@@ -562,21 +562,28 @@ int64_t ks_chain_from_hist(const int64_t* v_vals, const int64_t* n_codes,
 int64_t ks_count_radix(const uint8_t* nb, int64_t n, int32_t k,
                        int32_t* counts, int32_t nthreads) {
     const uint64_t mask = (1ull << (2 * k)) - 1;
-    const uint64_t size = 1ull << (2 * k);
-    const int32_t bshift = 2 * k - 8;  // bucket = code >> bshift
     if (nthreads < 1) nthreads = 1;
-    const int64_t STAGE = 2048;
-    std::vector<std::vector<int32_t>> tables(nthreads);
+    // bucket count scales so a table slice stays ~256 KB (L2-resident):
+    // k<=12 -> 256 buckets, k=13 -> 1K, k=14 -> 4K, k=15 -> 16K
+    const int32_t bbits = (2 * k > 24) ? (2 * k - 16) : 8;
+    const int32_t NBUCK = 1 << bbits;
+    const int32_t bshift = 2 * k - bbits;
+    // staging sized so a thread's buffers stay ~16 MB
+    const int64_t STAGE = std::max<int64_t>(
+        128, (16ll << 20) / 4 / NBUCK);
+    // flushes add into the SHARED output table with atomic increments:
+    // no per-thread 4^k copies to zero and merge (4 GB each at k=15);
+    // slices are L2-resident so the atomics are cache-hit cheap and
+    // cross-thread conflicts are rare (different buckets most of the
+    // time)
     std::vector<int64_t> words_t(nthreads, 0);
     std::vector<std::thread> ths;
     for (int32_t t = 0; t < nthreads; ++t) {
         const int64_t lo = n / nthreads * t;
         const int64_t hi = (t == nthreads - 1) ? n : n / nthreads * (t + 1);
-        ths.emplace_back([=, &tables, &words_t]() {
-            std::vector<int32_t>& tab = tables[t];
-            tab.assign(size, 0);
-            std::vector<uint32_t> stage(256 * STAGE);
-            std::vector<int32_t> fill(256, 0);
+        ths.emplace_back([=, &words_t]() {
+            std::vector<uint32_t> stage((int64_t)NBUCK * STAGE);
+            std::vector<int32_t> fill(NBUCK, 0);
             int64_t w = 0;
             // warm up k-1 before lo so k-mers ENDING in [lo, hi) count
             int64_t i = lo - (k - 1);
@@ -584,11 +591,12 @@ int64_t ks_count_radix(const uint8_t* nb, int64_t n, int32_t k,
             uint64_t off = 0;
             int32_t have = 0;
             auto flush = [&](int32_t b) {
-                int32_t* dst = tab.data() + ((int64_t)b << bshift);
+                int32_t* dst = counts + ((int64_t)b << bshift);
                 const uint32_t* src = stage.data() + (int64_t)b * STAGE;
                 const uint64_t m = (1ull << bshift) - 1;
                 for (int32_t j = 0; j < fill[b]; ++j)
-                    ++dst[src[j] & m];
+                    __atomic_fetch_add(&dst[src[j] & m], 1,
+                                       __ATOMIC_RELAXED);
                 fill[b] = 0;
             };
             while (i < hi) {
@@ -602,27 +610,13 @@ int64_t ks_count_radix(const uint8_t* nb, int64_t n, int32_t k,
                     if (++fill[b] == STAGE) flush(b);
                 }
             }
-            for (int32_t b = 0; b < 256; ++b) flush(b);
+            for (int32_t b = 0; b < NBUCK; ++b) flush(b);
             words_t[t] = w;
         });
     }
     for (auto& th : ths) th.join();
     int64_t words = 0;
     for (int32_t t = 0; t < nthreads; ++t) words += words_t[t];
-    // merge private tables into the output (parallel over table halves)
-    std::vector<std::thread> ms;
-    for (int32_t t = 0; t < nthreads; ++t) {
-        ms.emplace_back([=, &tables]() {
-            const uint64_t a = size / nthreads * t;
-            const uint64_t b = (t == nthreads - 1)
-                ? size : size / nthreads * (t + 1);
-            for (int32_t s = 0; s < nthreads; ++s) {
-                const int32_t* src = tables[s].data();
-                for (uint64_t c = a; c < b; ++c) counts[c] += src[c];
-            }
-        });
-    }
-    for (auto& th : ms) th.join();
     return words;
 }
 
