@@ -433,10 +433,12 @@ int64_t ks_rank_chain(const int32_t* counts, int64_t size, double total,
     {
         double acc = 0.0;
         int64_t j = 0;
-        const double inv = total > 0 ? 1.0 / total : 0.0;
         for (size_t g = 0; g < vals.size(); ++g) {
             start_of[g] = j;
-            const double t = (double)vals[g] * inv;
+            // DIVIDE, as the reference does (src/kmer_spans.c:198-200):
+            // fl(v * fl(1/total)) differs from fl(v/total) by 1 ulp for
+            // some (v, total) and would break bit-identity
+            const double t = total > 0 ? (double)vals[g] / total : 0.0;
             for (int64_t r = 0; r < mult[g]; ++r) {
                 acc += t;
                 fold[j++] = acc;
@@ -511,9 +513,9 @@ int64_t ks_chain_from_hist(const int64_t* v_vals, const int64_t* n_codes,
     double acc = 0.0;
     int64_t done = 0, qi = 0;
     while (qi < nq && q[qi].first == 0) out[q[qi++].second] = 0.0;
-    const double inv = total > 0 ? 1.0 / total : 0.0;
     for (int64_t g = 0; g < nv && qi < nq; ++g) {
-        const double t = (double)v_vals[g] * inv;
+        // divide, not multiply-by-reciprocal: reference bit-identity
+        const double t = total > 0 ? (double)v_vals[g] / total : 0.0;
         int64_t left = n_codes[g];
         while (left > 0 && qi < nq) {
             int64_t next = q[qi].first - done;  // terms until next answer

@@ -172,3 +172,29 @@ def test_native_rank_chain_bit_identical():
     total = int(counts.sum())
     got = native.rank_chain(counts, total)
     np.testing.assert_array_equal(got, weighted_ranks(counts, float(total)))
+
+
+def test_native_chain_from_hist_boundaries():
+    """ks_chain_from_hist: p=0 queries, mid-group, group-boundary, and
+    the pm == total-mass query all match the numpy fold; invalid pm
+    raises."""
+    from kmer_spans_tpu.stats.ranks import chain_ranks_from_mass
+    from kmer_spans_tpu.utils import native
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    v_vals = np.array([1, 3, 7], np.int64)
+    n_codes = np.array([4, 2, 1], np.int64)
+    total = int((v_vals * n_codes).sum())  # 17
+    # all valid masses: 0,1,2,3,4 (v=1), 4+3=7, 4+6=10 (v=3), 17 (v=7 end)
+    pm = np.array([0, 1, 2, 3, 4, 7, 10, 17], np.int64)
+    got = native.chain_from_hist(v_vals, n_codes, float(total), pm)
+    want = chain_ranks_from_mass(pm, (v_vals, n_codes), total)
+    np.testing.assert_array_equal(got, want)
+    with pytest.raises(ValueError):
+        native.chain_from_hist(v_vals, n_codes, float(total),
+                               np.array([5], np.int64))  # mid-value
+    # empty histogram: all ranks 0
+    z = native.chain_from_hist(np.zeros(0, np.int64), np.zeros(0, np.int64),
+                               0.0, np.array([0, 0], np.int64))
+    np.testing.assert_array_equal(z, [0.0, 0.0])
