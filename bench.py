@@ -162,27 +162,34 @@ def bench_pipeline(nbases, k, thr, min_w, min_s, block, cand, reps, chain):
     p_reps = max(2, reps) if recount else max(5, reps + 2)
     from concurrent.futures import ThreadPoolExecutor
 
+    # depth-3 dispatch queue: each rep's D2H (started eagerly with
+    # copy_to_host_async — without it the tunnel serializes compute ->
+    # pull -> compute and pipelined == serial) gets up to three compute
+    # windows to ride under; measured 0.750 vs 0.960 s/rep at 800 Mb k=8
     pool = ThreadPoolExecutor(max_workers=1)
-    t0 = time.time()
-    prev = fn(dev, thr32)
-    rc = pool.submit(recount) if recount else None
-    for _ in range(p_reps - 1):
-        cur = fn(dev, thr32)
-        # start prev's D2H on the transfer lane before blocking on it, so
-        # the pull rides under cur's compute (without this the tunnel
-        # serializes compute -> pull -> compute: pipelined == serial)
+    depth = min(3, p_reps)
+
+    def dispatch():
+        a = fn(dev, thr32)
         try:
-            prev.copy_to_host_async()
+            a.copy_to_host_async()
         except Exception:  # noqa: BLE001 — backend may not support it
             pass
-        regions = finish(prev)
+        return a, (pool.submit(recount) if recount else None)
+
+    t0 = time.time()
+    q = [dispatch() for _ in range(depth)]
+    for _ in range(p_reps - depth):
+        a, rc = q.pop(0)
+        regions = finish(a)
         if rc is not None:
             rc.result()
-            rc = pool.submit(recount)
-        prev = cur
-    regions = finish(prev)
-    if rc is not None:
-        rc.result()
+        q.append(dispatch())
+    while q:
+        a, rc = q.pop(0)
+        regions = finish(a)
+        if rc is not None:
+            rc.result()
     pool.shutdown()
     t_pipe = (time.time() - t0) / p_reps
     log(f"pipelined rep (x{p_reps}): {t_pipe:.3f}s  "
