@@ -167,7 +167,11 @@ def bench_pipeline(nbases, k, thr, min_w, min_s, block, cand, reps, chain):
     # pull -> compute and pipelined == serial) gets up to three compute
     # windows to ride under; measured 0.750 vs 0.960 s/rep at 800 Mb k=8
     pool = ThreadPoolExecutor(max_workers=1)
-    depth = min(3, p_reps)
+    # recount paths hold a spectrum per queued rep (4 GB each at k=15):
+    # cap the queue so page churn doesn't dominate the host wall
+    depth = min(3 if not recount else 2, p_reps)
+    if recount and k >= 15:
+        depth = 1
 
     def dispatch():
         a = fn(dev, thr32)
