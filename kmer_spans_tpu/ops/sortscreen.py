@@ -101,7 +101,10 @@ def rank_ub_tables(vh_runs, h2, total, vmax, v2):
     cmass = jnp.cumsum(w * vh_runs)      # cummass(<= v); int32 (<= total)
     mass_ub1 = cmass - w
     # clipped bucket: force rank_ub = 1 (class top) — sound for any tail
-    mass_ub1 = mass_ub1.at[vmax - 1].set(total)
+    # (explicit int32: under jax_enable_x64 ``total`` may arrive int64
+    # and implicit-downcast scatter is a FutureError)
+    mass_ub1 = mass_ub1.at[vmax - 1].set(
+        jnp.asarray(total, dtype=jnp.int32))
     cumh = jnp.cumsum(h2.reshape(v2, 256), axis=1)  # runs(v, high <= h)
     below = jnp.concatenate([jnp.zeros((1,), i32), cmass[: v2 - 1]])
     wv = jax.lax.iota(i32, v2)[:, None]
