@@ -23,6 +23,10 @@ as sorted runs, sharded by code range:
      per-device top-C candidate pull (pair codes travel with the
      candidates for the host's exact replay).
 
+Scale limit (explicit, enforced at trace time): total mass accumulates
+in int32, so one-shot inputs are capped below 2^31 counted k-mers
+(~2.1 Gb); larger genomes go through the chunked streaming path.
+
 Memory is O(n/device) everywhere.  Soundness is inherited: the tables
 are the same integer rank upper bounds as the single-chip sort screen
 (each global run counted exactly once, by its owner), the host
@@ -93,6 +97,15 @@ def make_wide_sharded_scan(
     def body(bases, valid, thr):
         me = jax.lax.axis_index(axis)
         n_local = bases.shape[0]
+        # total k-mer mass accumulates in int32 (psum'd total, owner-side
+        # mass cumsums, rank_ub_tables): reject configurations that could
+        # wrap BEFORE tracing — genomes past 2^31 counted k-mers must be
+        # chunked (parallel/stream.py) rather than one-shot scanned
+        if n_local * n_dev >= (1 << 31):
+            raise ValueError(
+                "wide sharded scan accumulates mass in int32: total "
+                f"bases {n_local * n_dev:,} >= 2^31 could overflow — "
+                "chunk the genome (stream) above ~2.1 Gb")
         nb = n_local // block
         i32 = jnp.int32
         idx = jax.lax.iota(i32, n_local)

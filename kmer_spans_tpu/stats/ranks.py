@@ -187,9 +187,22 @@ class SparseRanks:
         return self.ranks_u[i]
 
     def lookup(self, codes: np.ndarray) -> np.ndarray:
-        """Vectorized rank gather for an array of PRESENT codes."""
-        idx = np.searchsorted(self.ucodes, np.asarray(codes, np.int64))
+        """Vectorized rank gather for an array of PRESENT codes.
+
+        Absence is impossible by construction (every scored position's
+        k-mer was counted); if an upstream halo/reconstruction bug ever
+        queries a missing code, fail LOUDLY rather than silently return
+        a neighbor's rank (the never-silently-dropped invariant).
+        """
+        codes = np.asarray(codes, np.int64)
+        idx = np.searchsorted(self.ucodes, codes)
         idx = np.minimum(idx, max(len(self.ucodes) - 1, 0))
+        if self.ucodes.size == 0 or not np.array_equal(
+                self.ucodes[idx], codes):
+            missing = codes[self.ucodes[idx] != codes] if \
+                self.ucodes.size else codes
+            raise KeyError(
+                f"codes not in spectrum (first: {missing.ravel()[:4]})")
         return self.ranks_u[idx]
 
 
