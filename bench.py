@@ -42,6 +42,30 @@ _REF_COUNT_RATE = {6: 1.19e9, 8: 1.11e9, 10: 3.73e8, 12: 6.4e7}
 _REF_WINDOW_RATE = 48_000_000 / 1.265  # test.R:136-140
 _LAST_DEV_RATE = 0.0  # device-only rate of the most recent bench_pipeline
 
+# Measured v5e primitive floors (ns/element; CLAUDE.md round-4 labs:
+# lax.sort i32 key+payload 3.2 +1 per extra operand, run-length scans
+# 1.3, one-hot histogram 0.5, one-hot aug count 0.46, fused screen+scan
+# 0.23, XLA scatter-add 11.7).  Each row's roofline_frac = achieved /
+# (1e9 / floor): the fraction of the identified speed-of-light for that
+# pipeline's primitive composition — "is 13 ns/el actually fast" as a
+# number in the bench itself (round-4 verdict item 10).  The window row
+# has no lab-measured primitive floor yet and carries no fraction.
+_FLOOR_NS = {
+    "pipeline_bases_per_sec": 0.46 + 0.23 + 0.10,  # count+screen+scan/pull
+    "count_bases_per_sec_k8": 0.46,
+    "count_bases_per_sec_k12": 11.7,               # scatter-add bound
+    # pm screens: packed = 3 sorts (key+payload) + run lengths + value
+    # histogram + cumsum/elementwise + summaries
+    "pipeline_bases_per_sec_k12": 3 * 3.2 + 1.3 + 0.5 + 0.5 + 0.3,
+    "pipeline_bases_per_sec_k13": 3 * 3.2 + 1.3 + 0.5 + 0.5 + 0.3,
+    # smallv = 2 sorts + run lengths + 3 cumsums + stride-4 compaction
+    # sort + histogram + summaries
+    "pipeline_bases_per_sec_k15":
+        2 * 3.2 + 1.3 + 0.9 + 1.05 + 0.5 + 0.3,
+    "device_bases_per_sec_k15":
+        2 * 3.2 + 1.3 + 0.9 + 1.05 + 0.5 + 0.3,
+}
+
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
@@ -62,6 +86,92 @@ def sync_scalar(x):
     import jax
 
     return float(jax.device_get(x.ravel()[0]))
+
+
+def bench_pm_pipeline(nbases, k, thr, min_w, min_s, block, cand, reps):
+    """k >= 10 DEVICE-COMPLETE pipeline (round-5): the pm screen emits
+    exact per-position mass + the value histogram + the high-count run
+    list, so the host finisher needs NO spectrum — the round-4 host
+    recount (71 s / 100 Mb at k=15 on this 2-core box) is gone.
+
+    Reports serial (dispatch + pull + finish) and pipelined (async D2H
+    under the next dispatch) reps; the rate is min(serial, pipelined)
+    per rep — pipelining must never lose to serial (round-4 weak #2).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from kmer_spans_tpu.spans.pm_pipeline import (
+        finish_pm_spans,
+        make_pm_span_pipeline,
+        unpack_pm_outputs,
+    )
+
+    n = nbases.shape[0]
+    fn, meta = make_pm_span_pipeline(k, block=block, cand_blocks=cand)
+    t0 = time.time()
+    dev = jax.device_put(nbases)
+    sync_scalar(dev)
+    log(f"H2D staging: {time.time()-t0:.2f}s")
+    thr32 = jnp.float32(thr)
+    t0 = time.time()
+    out = fn(dev, thr32)
+    sync_scalar(out)
+    log(f"compile+first run: {time.time()-t0:.1f}s  (pm screen, "
+        f"t_list={meta['t_list']} cand={cand})")
+
+    t0 = time.time()
+    o = None
+    for _ in range(2):
+        o = fn(dev, thr32)
+    sync_scalar(o)
+    t_dev = (time.time() - t0) / 2
+    global _LAST_DEV_RATE
+    _LAST_DEV_RATE = n / t_dev
+    log(f"device step (chained x2): {t_dev:.3f}s "
+        f"({n/t_dev/1e6:.0f} Mbases/s device-only)")
+
+    def finish(o):
+        host = unpack_pm_outputs(np.asarray(o), n, meta)
+        return finish_pm_spans(host, n, meta, thr, min_w, min_s)
+
+    times = []
+    regions = None
+    for _ in range(max(2, reps)):
+        t0 = time.time()
+        regions = finish(fn(dev, thr32))
+        times.append(time.time() - t0)
+    t_serial = min(times)
+    log(f"serial rep: {t_serial:.3f}s  regions={len(regions.regions)} "
+        f"fallback={regions.fallback}")
+
+    p_reps = max(3, reps)
+    t0 = time.time()
+    q = []
+
+    def dispatch():
+        a = fn(dev, thr32)
+        try:
+            a.copy_to_host_async()
+        except Exception:  # noqa: BLE001
+            pass
+        return a
+
+    q = [dispatch() for _ in range(2)]
+    for i in range(p_reps):
+        a = q.pop(0)
+        # dispatch the replacement BEFORE finishing: the device computes
+        # rep i+2 while the host unpacks/replays rep i
+        if i < p_reps - 2:
+            q.append(dispatch())
+        regions = finish(a)
+    t_pipe = (time.time() - t0) / p_reps
+    log(f"pipelined rep (x{p_reps}): {t_pipe:.3f}s  "
+        f"regions={len(regions.regions)} fallback={regions.fallback}")
+    if regions.fallback:
+        log("WARNING: capacity overflow — rate not representative")
+    del dev
+    return n / min(t_pipe, t_serial)
 
 
 def bench_pipeline(nbases, k, thr, min_w, min_s, block, cand, reps, chain):
@@ -337,12 +447,14 @@ def main():
                 })
             except Exception as e:  # noqa: BLE001
                 log(f"row {name} FAILED: {type(e).__name__}: {e}")
-        # k >= 10 full pipelines (sort screen + overlapped host recount).
-        # 200 Mb at k=12 so per-genome costs amortize the way real k=12
-        # genomes (>= Gb) do; k=13/15 prove the large-k path on real
-        # hardware (BASELINE configs 3-4; the reference's own count rate
-        # is cache-miss-bound ~64 Mb/s from k=12 up, test.R:57-58, so
-        # that row is the conservative denominator for all three).
+        # k >= 10 full pipelines — DEVICE-COMPLETE pm screen (round 5):
+        # no host spectrum, no recount; the host finisher works from the
+        # pulled pm values + value histogram alone.  200 Mb at k=12 so
+        # per-genome costs amortize the way real k=12 genomes (>= Gb)
+        # do; k=13/15 prove the large-k path on real hardware (BASELINE
+        # configs 3-4; the reference's own count rate is cache-miss-
+        # bound ~64 Mb/s from k=12 up, test.R:57-58, so that row is the
+        # conservative denominator for all three).
         for kk, nmax, envk in [
             (12, 201_326_592, "BENCH_K12"),
             (13, 100_663_296, "BENCH_K13"),
@@ -352,21 +464,15 @@ def main():
                 continue
             try:
                 nkk = min(n, nmax)
-                r = bench_pipeline(
+                r = bench_pm_pipeline(
                     nbases[:nkk], kk, thr, min_w, min_s,
-                    block, min(512, nkk // block), max(1, reps - 1), 1)
+                    block, min(512, nkk // block), max(1, reps - 1))
                 rows.append({
                     "metric": f"pipeline_bases_per_sec_k{kk}",
                     "value": round(r), "unit": "bases/s",
                     "vs_baseline": round(r / _REF_COUNT_RATE[12], 3),
                 })
                 if kk == 15 and _LAST_DEV_RATE:
-                    # the k=15 steady state is bound by the HOST recount
-                    # (4 GB spectrum, ~24 s/100 Mb on this 2-core box —
-                    # a dev-host artifact: ks_count_mt partitions by code
-                    # space and scales with cores); the chip-side rate is
-                    # the TPU story, reported separately and honestly
-                    # labeled device-only
                     rows.append({
                         "metric": "device_bases_per_sec_k15",
                         "value": round(_LAST_DEV_RATE),
@@ -377,13 +483,18 @@ def main():
             except Exception as e:  # noqa: BLE001
                 log(f"row pipeline_k{kk} FAILED: {type(e).__name__}: {e}")
 
-    print(json.dumps({
+    headline = {
         "metric": "pipeline_bases_per_sec",
         "value": round(rate),
         "unit": "bases/s",
         "vs_baseline": round(rate / ref, 3),
-        "rows": rows,
-    }))
+    }
+    for row in [headline] + rows:
+        floor = _FLOOR_NS.get(row["metric"])
+        if floor:
+            row["roofline_frac"] = round(row["value"] * floor / 1e9, 3)
+    headline["rows"] = rows
+    print(json.dumps(headline))
 
 
 if __name__ == "__main__":

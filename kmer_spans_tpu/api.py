@@ -216,7 +216,8 @@ def _call_regions(
                 cand_blocks=min(128, npad // block),
                 with_scan_counts=want_scan_counts,
             )
-            out = fn(jnp.asarray(nb_arr), jnp.asarray(w_q))
+            dev = jnp.asarray(nb_arr)
+            out = fn(dev, jnp.asarray(w_q))
             seq_scan = (
                 np.zeros(size, dtype=np.int64) if want_scan_counts else None
             )
@@ -224,6 +225,7 @@ def _call_regions(
                 out, npad, model.weights, model.threshold, min_width,
                 min_score, scale, block=block, seq_id=i,
                 scan_counts=seq_scan,
+                pull_fn=getattr(fn, "pull", None), nbases_dev=dev,
             )
             if res.fallback:
                 sc32 = np.zeros(size, np.int64) if want_scan_counts else None
@@ -350,6 +352,23 @@ def _cached_wide_pipeline(k, block, cand_blocks):
     return make_wide_span_pipeline(k, block=block, cand_blocks=cand_blocks)
 
 
+@functools.lru_cache(maxsize=8)
+def _cached_pm_pipeline(k, block, cand_blocks):
+    """Device-complete k >= 10 pipeline (spans/pm_pipeline.py): the
+    replay needs no host spectrum — the api recounts only to populate
+    the reference-parity ``counts``/``w_rank`` result fields."""
+    from .spans.pm_pipeline import make_pm_span_pipeline
+
+    return make_pm_span_pipeline(k, block=block, cand_blocks=cand_blocks)
+
+
+@functools.lru_cache(maxsize=8)
+def _cached_wide_pm_pipeline(k, block, cand_blocks):
+    from .spans.pm_pipeline import make_wide_pm_pipeline
+
+    return make_wide_pm_pipeline(k, block=block, cand_blocks=cand_blocks)
+
+
 def _low_comp_fast(packed, k, min_w, min_score, thr, block=8192,
                    cand_blocks=128):
     """Sparse device pipeline over all sequences in one program.
@@ -382,6 +401,9 @@ def _low_comp_fast(packed, k, min_w, min_score, thr, block=8192,
     npad = max(block, 1 << 13)
     while npad < total_len:
         npad *= 2
+    # non-power-of-two blocks (< 8192, not dividing 8192) need the bucket
+    # rounded UP to a block multiple or the device reshape fails
+    npad = -(-npad // block) * block
     arr = np.full(npad, 4, np.uint8)
     offsets = []  # global 0-based start of each kept sequence
     pos = 0
@@ -393,22 +415,30 @@ def _low_comp_fast(packed, k, min_w, min_score, thr, block=8192,
         nb[~p.valid] = 4
         arr[pos : pos + p.n] = nb
         pos += p.n
-    fn = _cached_span_pipeline(k, block, cand_blocks)
-    out = fn(jnp.asarray(arr), jnp.float32(thr))
-    counts_host = None
-    if out["counts"] is None:
-        # k >= 10 sort screen: no device spectrum — recount on the host
-        # (native C when available, numpy fallback)
+    if k >= 10:
+        # device-complete pm pipeline: the replay needs no spectrum; the
+        # host recount below only fills the reference-parity counts /
+        # w_rank result fields (part of the R API's return value)
+        from .spans.pm_pipeline import finish_pm_spans, unpack_pm_outputs
         from .utils import native
 
+        fnp, meta = _cached_pm_pipeline(k, block, cand_blocks)
+        vec = np.asarray(fnp(jnp.asarray(arr), jnp.float32(thr)))
+        out_pm = unpack_pm_outputs(vec, npad, meta)
+        res = finish_pm_spans(out_pm, npad, meta, thr, min_w, min_score)
+        if res.fallback:
+            return None
         counts_host, _ = native.host_spectrum(arr, k)
-    res = finish_spans(out, npad, thr, min_w, min_score, block=block,
-                       counts=counts_host)
-    if res.fallback:
-        return None
-    counts = (np.asarray(out["counts"]) if counts_host is None
-              else np.asarray(counts_host)).astype(np.int64)
-    total = int(np.asarray(out["total"]))
+        counts = np.asarray(counts_host).astype(np.int64)
+        total = int(out_pm["total"])
+    else:
+        fn = _cached_span_pipeline(k, block, cand_blocks)
+        out = fn(jnp.asarray(arr), jnp.float32(thr))
+        res = finish_spans(out, npad, thr, min_w, min_score, block=block)
+        if res.fallback:
+            return None
+        counts = np.asarray(out["counts"]).astype(np.int64)
+        total = int(np.asarray(out["total"]))
     regions = []
     for _, beg, end, score in res.regions:
         j = bisect.bisect_right(offsets, beg - 1) - 1
@@ -448,16 +478,21 @@ class WideRegionResult:
 def kmer_wide_regions(
     seqs, k: int, min_w: int, min_score: float, thr: float = 0.75,
     backend: str = "auto", block: int = 8192, cand_blocks: int = 256,
+    with_spectrum: bool = True,
 ) -> WideRegionResult:
     """Rank-scored spans for WIDE k (16..23) — past the reference's MAX_K.
 
     Semantics are kmer_low_comp_regions' (spectrum -> weighted ranks ->
     spans; src/kmer_spans.c:548-621) extended to k where only a sparse
-    spectrum can exist.  backend "jax" runs the wide device pipeline
-    (pair codes + 2-key sort screen, spans/pipeline.py) with candidates
-    replayed through the exact f64 chain; "host" (and any device
-    candidate-capacity overflow) runs the sequential oracle over a
-    SparseRanks lookup.  Both give identical output.
+    spectrum can exist.  backend "jax" runs the DEVICE-COMPLETE wide pm
+    pipeline (pair codes + exact-mass screen, spans/pm_pipeline.py) with
+    candidates replayed through the exact f64 chain from device-emitted
+    mass; "host" (and any device capacity overflow) runs the sequential
+    oracle over a SparseRanks lookup.  Both give identical output.
+
+    with_spectrum=False skips the host sparse recount when the device
+    pipeline succeeds (regions don't need it — round 5); the result's
+    spectrum fields are then empty and n_words comes from the device.
     """
     from .ops.blocked import WIDE_MAX_K
 
@@ -477,6 +512,7 @@ def kmer_wide_regions(
     npad = max(block, 1 << 13)
     while npad < total_len:
         npad *= 2
+    npad = -(-npad // block) * block  # block must divide the bucket
     arr = np.full(npad, 4, np.uint8)
     offsets = []
     pos = 0
@@ -491,25 +527,35 @@ def kmer_wide_regions(
     from .utils import native
 
     cat = PackedSeq(bases=arr & 3, valid=arr < 4)
-    # native C sparse counter when available (code-space-partitioned
-    # threads; the np.unique recount was the wide wall at genome scale)
-    ucodes, ucounts, n_words = native.host_spectrum_sparse(arr, k)
     glob_regions = None
+    total_dev = None
     if backend == "jax":
+        # DEVICE-COMPLETE wide pm pipeline (round 5): regions need no
+        # host spectrum at all — the device emits exact per-position
+        # mass + the sparse value histogram + the high-count run list
         import jax.numpy as jnp
 
-        from .spans.pipeline import finish_wide_spans, unpack_wide_outputs
+        from .spans.pm_pipeline import finish_pm_spans, unpack_pm_outputs
 
-        fn = _cached_wide_pipeline(k, block, min(cand_blocks,
-                                                 npad // block))
-        v = np.asarray(fn(jnp.asarray(arr), jnp.float32(thr)))
-        got = unpack_wide_outputs(v, npad, block,
-                                  min(cand_blocks, npad // block))
-        res = finish_wide_spans(
-            got, npad, k, thr, min_w, min_score,
-            (ucodes, ucounts, n_words), block=block)
+        fnp, meta = _cached_wide_pm_pipeline(
+            k, block, min(cand_blocks, npad // block))
+        v = np.asarray(fnp(jnp.asarray(arr), jnp.float32(thr)))
+        got = unpack_pm_outputs(v, npad, meta)
+        res = finish_pm_spans(got, npad, meta, thr, min_w, min_score)
         if not res.fallback:
             glob_regions = res.regions
+            total_dev = got["total"]
+    ucodes = ucounts = None
+    n_words = 0
+    if glob_regions is None or with_spectrum:
+        # the sparse host recount is needed only to (a) serve the host
+        # oracle on device capacity overflow or (b) populate the result
+        # spectrum when the caller asked for it (native C when
+        # available: code-space-partitioned threads)
+        ucodes, ucounts, n_words = native.host_spectrum_sparse(arr, k)
+        if total_dev is not None and n_words != total_dev:
+            raise AssertionError(
+                f"device total {total_dev} != host recount {n_words}")
     if glob_regions is None:
         # host oracle (or device capacity overflow): sequential caller
         # over the sparse-exact rank lookup
@@ -518,6 +564,10 @@ def kmer_wide_regions(
         sr = SparseRanks(ucodes, ucounts)
         glob_regions = oracle.find_regions(
             cat, 0, min_w, min_score, sr, k, thr)
+    if ucodes is None:
+        empty64 = np.zeros(0, np.int64)
+        ucodes = ucounts = empty64
+        n_words = int(total_dev)
     import bisect
 
     regions = []

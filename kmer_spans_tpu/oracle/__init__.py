@@ -1,5 +1,6 @@
 from .reference import (
     count_spectrum,
+    count_spectrum_sparse,
     find_regions,
     find_tr_regions,
     segments,
@@ -9,6 +10,7 @@ from .reference import (
 
 __all__ = [
     "count_spectrum",
+    "count_spectrum_sparse",
     "find_regions",
     "find_tr_regions",
     "segments",
