@@ -131,6 +131,9 @@ class StreamingSpanPipeline:
         self.chunk = chunk_bases
         self.cand = cand_blocks
         self.margin = margin_blocks
+        #: N-run interval capacity of the packed-H2D path (overflowing
+        #: chunks — pathological N sprinkling — use the u8 program)
+        self._ncap = 2048
         nb = chunk_bases // block
         size = 1 << (2 * k)
         h = k - 1
@@ -138,11 +141,28 @@ class StreamingSpanPipeline:
         self._use_class = use_class
         use_fused = use_class and 4 <= k <= FUSED_CLASS_MAX_K \
             and block >= 1024
+        ncap = self._ncap
 
-        @jax.jit
-        def count_chunk(nbases, acc_hi, acc_lo, halo_b, halo_v):
-            b2 = (nbases & 3).reshape(nb, block)
-            v2 = (nbases < 4).reshape(nb, block)
+        def decode_packed(words, nst, nln):
+            """2-bit words + N-run intervals -> (b2, v2).
+
+            The chunk H2D was the streaming wall (round-4 weak #4: 32 MB
+            of u8 through a ~55 MB/s tunnel per 32 Mb chunk); 2-bit words
+            are 4x smaller and N runs travel as <= ncap explicit
+            intervals (scatter of 2*ncap deltas + one cumsum rebuilds the
+            validity mask on device).  Inactive interval slots are
+            (0, 0) pairs whose +1/-1 deltas cancel.
+            """
+            shifts = (2 * jnp.arange(16, dtype=jnp.uint32))[None, :]
+            b = ((words[:, None] >> shifts) & 3).astype(jnp.int32)
+            b2 = b.reshape(nb, block)
+            mark = jnp.zeros(chunk_bases + 1, jnp.int32)
+            mark = mark.at[nst].add(1, mode="drop")
+            mark = mark.at[nst + nln].add(-1, mode="drop")
+            v2 = (jnp.cumsum(mark[:chunk_bases]) == 0).reshape(nb, block)
+            return b2, v2
+
+        def count_body(b2, v2, acc_hi, acc_lo, halo_b, halo_v):
             codes, kv = blocked_codes(
                 b2, v2, k, first_bases=halo_b, first_valid=halo_v
             )
@@ -159,6 +179,18 @@ class StreamingSpanPipeline:
             # totals are exact to 2^47 (poly-A at Gb scale can't overflow)
             lo2 = acc_lo + part
             return acc_hi + (lo2 >> 16), lo2 & 0xFFFF
+
+        @jax.jit
+        def count_chunk(nbases, acc_hi, acc_lo, halo_b, halo_v):
+            b2 = (nbases & 3).reshape(nb, block)
+            v2 = (nbases < 4).reshape(nb, block)
+            return count_body(b2, v2, acc_hi, acc_lo, halo_b, halo_v)
+
+        @jax.jit
+        def count_chunk_packed(words, nst, nln, acc_hi, acc_lo, halo_b,
+                               halo_v):
+            b2, v2 = decode_packed(words, nst, nln)
+            return count_body(b2, v2, acc_hi, acc_lo, halo_b, halo_v)
 
         C = min(cand_blocks, nb)
         m = margin_blocks
@@ -189,10 +221,45 @@ class StreamingSpanPipeline:
                 axis=-1, dtype=jnp.uint32)
             return jax.lax.bitcast_convert_type(w, jnp.int32).reshape(-1)
 
-        @jax.jit
-        def scan_chunk(nbases, tab, thr, x_in_f, halo_b, halo_v, next_v):
-            b2 = (nbases & 3).reshape(nb, block)
-            v2 = (nbases < 4).reshape(nb, block)
+        def finish_scan(tA, tB, maxA, maxB, x_in_f, codes, scored):
+            # f32 composition orders the top-C gather only (host re-does
+            # the composition exactly in int64, carry included)
+            block_max, block_last = compose_summaries_f32(
+                tA, tB, maxA, maxB)
+            block_max = jnp.concatenate(
+                [jnp.maximum(block_max[:1], x_in_f + maxA[:1].astype(
+                    jnp.float32)), block_max[1:]])
+            linked = jnp.concatenate(
+                [(x_in_f > 0).reshape(1), block_last[:-1] > 0])
+            fwd, _ = jax.lax.associative_scan(
+                _seg_max_combine,
+                (block_max, (~linked).astype(jnp.float32)))
+            linked_next = jnp.concatenate(
+                [linked[1:], jnp.zeros((1,), bool)])
+            bwd, _ = jax.lax.associative_scan(
+                _seg_max_combine,
+                (jnp.flip(block_max),
+                 jnp.flip((~linked_next).astype(jnp.float32))))
+            need = jnp.maximum(fwd, jnp.flip(bwd))
+            _, top_idx = jax.lax.top_k(need, C)
+            top_idx = jnp.sort(top_idx)
+
+            summary = jnp.concatenate([
+                tA.astype(jnp.int32), tB.astype(jnp.int32),
+                maxA.astype(jnp.int32), maxB.astype(jnp.int32),
+                top_idx.astype(jnp.int32),
+            ])
+            payload = jnp.concatenate([
+                pack_codes(codes[top_idx]),
+                pack_bits(scored[top_idx]),
+                pack_codes(codes[:m]),
+                pack_bits(scored[:m]),
+                pack_codes(codes[nb - m:]),
+                pack_bits(scored[nb - m:]),
+            ])
+            return summary, payload
+
+        def scan_body(b2, v2, tab, thr, x_in_f, halo_b, halo_v, next_v):
             codes, kv = blocked_codes(
                 b2, v2, k, first_bases=halo_b, first_valid=halo_v
             )
@@ -227,42 +294,59 @@ class StreamingSpanPipeline:
                     tab, codes.reshape(-1), thr_q).reshape(nb, block)
                 tA, tB, maxA, maxB = blocked_scan_summaries_int(
                     s_int, scored)
-            # f32 composition orders the top-C gather only (host re-does
-            # the composition exactly in int64, carry included)
-            block_max, block_last = compose_summaries_f32(tA, tB, maxA, maxB)
-            block_max = jnp.concatenate(
-                [jnp.maximum(block_max[:1], x_in_f + maxA[:1].astype(
-                    jnp.float32)), block_max[1:]])
-            linked = jnp.concatenate(
-                [(x_in_f > 0).reshape(1), block_last[:-1] > 0])
-            fwd, _ = jax.lax.associative_scan(
-                _seg_max_combine, (block_max, (~linked).astype(jnp.float32)))
-            linked_next = jnp.concatenate([linked[1:], jnp.zeros((1,), bool)])
-            bwd, _ = jax.lax.associative_scan(
-                _seg_max_combine,
-                (jnp.flip(block_max),
-                 jnp.flip((~linked_next).astype(jnp.float32))))
-            need = jnp.maximum(fwd, jnp.flip(bwd))
-            _, top_idx = jax.lax.top_k(need, C)
-            top_idx = jnp.sort(top_idx)
+            return finish_scan(tA, tB, maxA, maxB, x_in_f, codes, scored)
 
-            summary = jnp.concatenate([
-                tA.astype(jnp.int32), tB.astype(jnp.int32),
-                maxA.astype(jnp.int32), maxB.astype(jnp.int32),
-                top_idx.astype(jnp.int32),
-            ])
-            payload = jnp.concatenate([
-                pack_codes(codes[top_idx]),
-                pack_bits(scored[top_idx]),
-                pack_codes(codes[:m]),
-                pack_bits(scored[:m]),
-                pack_codes(codes[nb - m:]),
-                pack_bits(scored[nb - m:]),
-            ])
-            return summary, payload
+        @jax.jit
+        def scan_chunk(nbases, tab, thr, x_in_f, halo_b, halo_v, next_v):
+            b2 = (nbases & 3).reshape(nb, block)
+            v2 = (nbases < 4).reshape(nb, block)
+            return scan_body(b2, v2, tab, thr, x_in_f, halo_b, halo_v,
+                             next_v)
+
+        @jax.jit
+        def scan_chunk_packed(words, nst, nln, tab, thr, x_in_f, halo_b,
+                              halo_v, next_v):
+            b2, v2 = decode_packed(words, nst, nln)
+            return scan_body(b2, v2, tab, thr, x_in_f, halo_b, halo_v,
+                             next_v)
+
+        # ---- generic-scoring variants (round-4 weak #7): the screen is
+        # a 256-level uint8 row table of ANY weight model with an affine
+        # integer decode (ops/rowgather.host_row_table_weights); only the
+        # s_int computation differs from the rank path
+        def scan_body_w(b2, v2, tab, step, off, x_in_f, halo_b, halo_v,
+                        next_v):
+            from ..ops.rowgather import row_screen_scores_affine
+
+            codes, kv = blocked_codes(
+                b2, v2, k, first_bases=halo_b, first_valid=halo_v)
+            scored = blocked_scored(v2, kv, next_valid=next_v)
+            s_int = row_screen_scores_affine(
+                tab, codes.reshape(-1), step, off).reshape(nb, block)
+            tA, tB, maxA, maxB = blocked_scan_summaries_int(s_int, scored)
+            return finish_scan(tA, tB, maxA, maxB, x_in_f, codes, scored)
+
+        @jax.jit
+        def scan_chunk_w(nbases, tab, step, off, x_in_f, halo_b, halo_v,
+                         next_v):
+            b2 = (nbases & 3).reshape(nb, block)
+            v2 = (nbases < 4).reshape(nb, block)
+            return scan_body_w(b2, v2, tab, step, off, x_in_f, halo_b,
+                               halo_v, next_v)
+
+        @jax.jit
+        def scan_chunk_w_packed(words, nst, nln, tab, step, off, x_in_f,
+                                halo_b, halo_v, next_v):
+            b2, v2 = decode_packed(words, nst, nln)
+            return scan_body_w(b2, v2, tab, step, off, x_in_f, halo_b,
+                               halo_v, next_v)
 
         self._count = count_chunk
+        self._count_p = count_chunk_packed
         self._scan = scan_chunk
+        self._scan_p = scan_chunk_packed
+        self._scan_w = scan_chunk_w
+        self._scan_wp = scan_chunk_w_packed
         self._size = size
         self._nb = nb
         self._C = C
@@ -271,13 +355,19 @@ class StreamingSpanPipeline:
     def run(self, chunk_iter_factory, thr, min_width, min_score,
             seq_id: int = 0, checkpoint_path: str | None = None,
             resume: bool = False, metrics=None,
-            stop_after_chunk: int | None = None) -> StreamResult:
+            stop_after_chunk: int | None = None,
+            scoring=None) -> StreamResult:
         """Run the two-pass pipeline.
 
         chunk_iter_factory: zero-arg callable returning an iterator of
         uint8 numpy arrays (nbases; N encoded as 4), each exactly
         chunk_bases long except the last (which is padded with N here).
         The factory is called twice (count pass, scan pass).
+
+        scoring: optional callable (counts int64 [4^k], total) ->
+        ScoringModel — stream under any of the README scoring variants
+        (models/scoring.py) instead of rank scoring; ``thr`` is then
+        unused (the model carries its own threshold).
 
         checkpoint_path: if set, the scan pass saves a StreamCheckpoint
         after every chunk; with resume=True and an existing checkpoint,
@@ -296,12 +386,25 @@ class StreamingSpanPipeline:
             acc = self.accumulate_counts(chunk_iter_factory)
         with _phase("rank"):
             mass, total = self.finish_rank(acc)
+            model = scoring(self._counts_host, total) if scoring else None
         return self.scan_stream(
             chunk_iter_factory, mass, total, thr, min_width, min_score,
             seq_id=seq_id, checkpoint_path=checkpoint_path, resume=resume,
             metrics=metrics, stop_after_chunk=stop_after_chunk,
-            counts_host=self._counts_host,
+            counts_host=self._counts_host, model=model,
         )
+
+    def _chunk_args(self, arr):
+        """Device input for one chunk: 2-bit words + N-run intervals
+        (PACKED H2D — 4x fewer bytes through the ~55 MB/s dev tunnel,
+        round-4 weak #4) when the chunk's N runs fit the interval cap,
+        else the u8 bytes.  Returns (args tuple, packed flag)."""
+        import jax.numpy as jnp
+
+        w, st, ln, runs = native.pack2(arr, cap=self._ncap)
+        if runs <= self._ncap:
+            return (jnp.asarray(w), jnp.asarray(st), jnp.asarray(ln)), True
+        return (jnp.asarray(arr),), False
 
     def accumulate_counts(self, chunk_iter_factory, acc=None):
         """Count pass over one stream; pass ``acc`` to accumulate multiple
@@ -316,8 +419,10 @@ class StreamingSpanPipeline:
         prev_tail = np.full(h, 4, np.uint8)  # N: stream start has no halo
         for arr in chunk_iter_factory():
             arr = self._pad(arr)
-            acc = self._count(
-                jnp.asarray(arr), acc[0], acc[1],
+            args, packed = self._chunk_args(arr)
+            count = self._count_p if packed else self._count
+            acc = count(
+                *args, acc[0], acc[1],
                 jnp.asarray(prev_tail & 3), jnp.asarray(prev_tail < 4),
             )
             if h:
@@ -413,10 +518,19 @@ class StreamingSpanPipeline:
     def scan_stream(self, chunk_iter_factory, mass, total, thr,
                     min_width, min_score, seq_id=0, checkpoint_path=None,
                     resume=False, metrics=None, stop_after_chunk=None,
-                    counts_host=None) -> StreamResult:
+                    counts_host=None, model=None) -> StreamResult:
         """Scan pass over one stream with a (possibly shared) rank table.
 
         mass: int64 np array (finish_rank); total: int k-mer count.
+
+        model: optional ScoringModel (models/scoring.py) — streams spans
+        under ARBITRARY weights / frequency-threshold / log2-median
+        scoring instead of rank scoring (BASELINE config 4 "all three
+        scoring functions"; round-4 weak #7).  The screen quantizes the
+        model to a 256-level row table with affine integer decode
+        (ops/rowgather.host_row_table_weights); the exact f64 replay
+        reads the model's weights directly, so emitted scores keep the
+        sequential-f64 invariant for every scoring.
         """
         import time as _time
 
@@ -424,9 +538,6 @@ class StreamingSpanPipeline:
 
         k, block, nb = self.k, self.block, self._nb
         h = k - 1
-        mass = np.asarray(mass, dtype=np.int64)
-        tab_dev = self._screen_table(mass, total)
-        thr32 = jnp.float32(thr)
         if counts_host is None:
             counts_host = getattr(self, "_counts_host", None)
         if counts_host is None:
@@ -434,9 +545,35 @@ class StreamingSpanPipeline:
                 "scan_stream needs the host spectrum for bit-identical "
                 "replay: run finish_rank first or pass counts_host"
             )
-        from ..spans.pipeline import host_rank_chain
+        thr32 = jnp.float32(thr)
+        if model is None:
+            from ..spans.pipeline import host_rank_chain
 
-        ranks = host_rank_chain(counts_host, total)
+            mass = np.asarray(mass, dtype=np.int64)
+            tab_dev = self._screen_table(mass, total)
+            ranks = host_rank_chain(counts_host, total)
+            score_thr = thr
+            scale = float(SCREEN_SCALE)
+
+            def dispatch_scan(args, packed, x_in):
+                scan = self._scan_p if packed else self._scan
+                return scan(*args, tab_dev, thr32, jnp.float32(x_in),
+                            halo_b, halo_v, next_v)
+        else:
+            from ..ops.rowgather import host_row_table_weights
+
+            tab_np, step, off, scale = host_row_table_weights(
+                model.weights, model.threshold, block)
+            tab_dev = jnp.asarray(tab_np)
+            step32 = jnp.int32(step)
+            off32 = jnp.int32(off)
+            ranks = np.asarray(model.weights, dtype=np.float64)
+            score_thr = float(model.threshold)
+
+            def dispatch_scan(args, packed, x_in):
+                scan = self._scan_wp if packed else self._scan_w
+                return scan(*args, tab_dev, step32, off32,
+                            jnp.float32(x_in), halo_b, halo_v, next_v)
 
         regions: list = []
         unresolved: list = []
@@ -473,20 +610,18 @@ class StreamingSpanPipeline:
                 continue
             if stop_after_chunk is not None and ci > stop_after_chunk:
                 break  # simulated interruption (scan resumes via checkpoint)
-            dev = jnp.asarray(arr)
+            args, packed = self._chunk_args(arr)
             is_last = ci == len(chunks) - 1
             next_v = jnp.asarray(
                 False if is_last else chunks[ci + 1][0] != 4)
             t0 = _time.perf_counter()
-            summary, payload = self._scan(
-                dev, tab_dev, thr32, jnp.float32(x_in), halo_b, halo_v,
-                next_v)
+            summary, payload = dispatch_scan(args, packed, x_in)
             tA, tB, maxA, maxB, top_idx = self._unpack_summary(summary)
             res, open_next, x_in = self._finish_chunk(
                 tA, tB, maxA, maxB, top_idx, payload, x_in,
-                base, thr, ranks, min_width, min_score, seq_id,
+                base, score_thr, ranks, min_width, min_score, seq_id,
                 open_s, open_scored, open_start, unresolved, ci,
-                is_last=is_last,
+                is_last=is_last, scale=scale,
             )
             regions.extend(res)
             open_s, open_scored, open_start = open_next
@@ -533,7 +668,8 @@ class StreamingSpanPipeline:
     def _finish_chunk(self, tA, tB, maxA, maxB, top_idx, payload, x_in,
                       base, thr, ranks, min_width, min_score,
                       seq_id, open_s, open_scored, open_start,
-                      unresolved, ci, is_last=False):
+                      unresolved, ci, is_last=False,
+                      scale=float(SCREEN_SCALE)):
         """Extract this chunk's spans + stitch the boundary excursion.
 
         All screening is EXACT: int64 composition of the integer block
@@ -547,7 +683,7 @@ class StreamingSpanPipeline:
           * the excursion open at the OUTGOING edge (start found from the
             exact block_last chain) is handed to the next chunk.
         """
-        from ..spans.extract import _first_nonpositive, extract_spans
+        from ..spans.extract import extract_spans
         from ..spans.pipeline import compose_summaries_exact
 
         block, nb, m = self.block, self._nb, self.margin
@@ -564,7 +700,7 @@ class StreamingSpanPipeline:
         starts = np.nonzero(seg_start)[0]
         run_of = np.cumsum(seg_start) - 1
         run_max = np.maximum.reduceat(block_max, starts)[run_of]
-        cand = run_max >= float(min_score) * SCREEN_SCALE
+        cand = run_max >= float(min_score) * scale
         have = np.zeros(nb, bool)
         have[top_idx] = True
         pos_in_pull = {int(b): i for i, b in enumerate(top_idx)}
@@ -586,24 +722,34 @@ class StreamingSpanPipeline:
         clip_from_global = None  # in-chunk pass must not extract past this
         x_out = np.int64(block_last[-1]) if block_last[-1] > 0 else np.int64(0)
         if block_last[-1] > 0 and not is_last:
-            nonpos = np.nonzero(block_last <= 0)[0]
-            b0 = (int(nonpos[-1]) + 1) if nonpos.size else 0
-            if b0 < nb - m:
-                unresolved.append((ci, "open excursion exceeds tail margin"))
+            # Locate the last position in the tail margin where TRUE
+            # S = 0 provably.  Round-4's locator only trusted block-END
+            # zeros of the integer bound (block_last <= 0), which random
+            # background wobble defeats — composed bounds stay positive
+            # at block ends while true S dips to 0 mid-block constantly
+            # (surfaced by the permissive weight scorings).  Sound f64
+            # refinement instead: replay the margin's true s-values with
+            # the initial state bounded by the composed INTEGER bound
+            # entering the margin (block_last >= scale * S_true always),
+            #     S_ub(p) = max(x0_ub + P(p), P(p) - min(0, min P(<=p)))
+            # — monotone in the init, so S_ub >= S_true and any
+            # S_ub <= 0 (or unscored reset) is a provable close.
+            tail_s = pl["s_tail"]
+            tail_sc = pl["sc_tail"]
+            x0_ub = (float(max(int(block_last[nb - m - 1]), 0)) / scale
+                     if nb > m else float(max(int(x_in), 0)) / scale)
+            P = np.cumsum(tail_s)
+            Mn = np.minimum.accumulate(np.minimum(P, 0.0))
+            S = np.maximum(P + x0_ub, P - Mn)
+            closed = (S <= 0) | ~tail_sc
+            zero = np.nonzero(closed)[0]
+            if not zero.size:
+                unresolved.append(
+                    (ci, "open excursion exceeds tail margin"))
             else:
-                tail_s = pl["s_tail"]
-                tail_sc = pl["sc_tail"]
-                rel0 = (b0 - (nb - m)) * block  # chain start within margin
-                # upper-bound S from the chain start (true S there is 0)
-                seg = tail_s[rel0:]
-                P = np.cumsum(seg)
-                Mn = np.minimum.accumulate(np.minimum(P, 0.0))
-                S = P - Mn
-                closed = (S <= 0) | ~tail_sc[rel0:]
-                zero = np.nonzero(closed)[0]
-                start_rel = rel0 + (int(zero[-1]) + 1 if zero.size else 0)
+                start_rel = int(zero[-1]) + 1
                 if start_rel >= tail_s.shape[0]:
-                    # everything up to the edge is provably closed: the
+                    # the edge position itself is provably closed: the
                     # chunk ends with true S = 0 — nothing to hand off
                     pass
                 else:
@@ -615,23 +761,32 @@ class StreamingSpanPipeline:
                     clip_from_global = open_next[2]
 
         # --- B. incoming boundary excursion: owned here entirely ----------
+        # The boundary pass owns the WHOLE handed window [open_start,
+        # base) plus its continuation into the head margin, up to the
+        # first TRUE close (S = 0 or unscored reset) at or after the
+        # edge: closing at the first S <= 0 anywhere orphaned any
+        # excursion that reopened between that close and the chunk edge
+        # (surfaced by the permissive weight scorings).  The replay here
+        # IS the true scan — true S = 0 at open_start - 1 by the handoff
+        # invariant — so interior closes/reopens replay exactly and
+        # extract_spans emits every region inside the owned window.
         boundary_done_global = base - 1  # in-chunk pass starts after this
         if open_s is not None:
             joined_s = np.concatenate([open_s, pl["s_head"]])
             joined_sc = np.concatenate([open_scored, pl["sc_head"]])
-            # an unscored position is a true reset: it closes the boundary
-            # excursion just like an S <= 0 crossing
-            unsc = np.nonzero(~joined_sc)[0]
-            limit = int(unsc[0]) if unsc.size else None
-            vals, z = _first_nonpositive(
-                joined_s if limit is None else joined_s[:limit + 1], 0)
-            if z is None and limit is not None:
-                z = limit
-            if z is None:
+            hd0 = int(base - open_start)  # joined index of chunk start
+            # forced reset at unscored: a -1e9 contribution clamps S to 0
+            # exactly (|true sums| << 1e9; offsets cancel within segments)
+            a = np.where(joined_sc, joined_s, -1e9)
+            P = np.cumsum(a)
+            S = P - np.minimum.accumulate(np.minimum(P, 0.0))
+            zero = np.nonzero(S[hd0 - 1:] <= 0)[0]
+            if not zero.size:
                 unresolved.append(
                     (ci, "boundary excursion exceeds head margin"))
                 boundary_done_global = base + m * block  # best effort
             else:
+                z = hd0 - 1 + int(zero[0])
                 clip = z + 1
                 regs = extract_spans(joined_s[:clip], joined_sc[:clip],
                                      min_width, min_score, seq_id=seq_id)

@@ -89,6 +89,10 @@ def _load():
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
             ctypes.c_double, ctypes.c_void_p, ctypes.c_int64,
             ctypes.c_void_p]
+        lib.ks_pack2.restype = ctypes.c_int64
+        lib.ks_pack2.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]
         _lib = lib
     except Exception:
         _lib = None
@@ -108,6 +112,41 @@ def pack_nbases(raw: np.ndarray) -> np.ndarray | None:
     out = np.empty(raw.shape[0], dtype=np.uint8)
     lib.ks_pack(raw.ctypes.data, raw.shape[0], out.ctypes.data)
     return out
+
+
+def pack2(nbases: np.ndarray, cap: int = 2048):
+    """nbases (u8, N == 4) -> (words uint32 [ceil(n/16)], starts i32,
+    lens i32, n_runs) for the streaming packed-H2D path; numpy fallback
+    when the native library is unavailable.  n_runs may exceed cap (only
+    the first cap intervals are valid) — callers fall back to the u8
+    program then.
+    """
+    nbases = np.ascontiguousarray(nbases, dtype=np.uint8)
+    n = nbases.shape[0]
+    nw = (n + 15) // 16
+    starts = np.zeros(cap, np.int32)
+    lens = np.zeros(cap, np.int32)
+    lib = _load()
+    if lib is not None:
+        words = np.empty(nw, np.uint32)
+        runs = lib.ks_pack2(
+            nbases.ctypes.data, n, words.ctypes.data,
+            starts.ctypes.data, lens.ctypes.data, cap)
+        return words, starts, lens, int(runs)
+    pad = np.zeros(nw * 16, np.uint8)
+    pad[:n] = nbases & 3
+    shifts = (2 * np.arange(16, dtype=np.uint32))[None, :]
+    words = np.bitwise_or.reduce(
+        (pad.reshape(nw, 16).astype(np.uint32)) << shifts, axis=1)
+    isn = np.concatenate([[False], nbases == 4, [False]])
+    d = np.diff(isn.astype(np.int8))
+    st = np.nonzero(d == 1)[0]
+    en = np.nonzero(d == -1)[0]
+    runs = st.shape[0]
+    m = min(runs, cap)
+    starts[:m] = st[:m]
+    lens[:m] = (en - st)[:m]
+    return words, starts, lens, int(runs)
 
 
 def count_spectrum(nbases: np.ndarray, k: int) -> tuple[np.ndarray, int] | None:
