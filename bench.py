@@ -54,16 +54,17 @@ _FLOOR_NS = {
     "pipeline_bases_per_sec": 0.46 + 0.23 + 0.10,  # count+screen+scan/pull
     "count_bases_per_sec_k8": 0.46,
     "count_bases_per_sec_k12": 11.7,               # scatter-add bound
-    # pm screens: packed = 3 sorts (key+payload) + run lengths + value
-    # histogram + cumsum/elementwise + summaries
-    "pipeline_bases_per_sec_k12": 3 * 3.2 + 1.3 + 0.5 + 0.5 + 0.3,
+    # k12 = round-4 sort screen (2 sorts + run lengths + 2 histograms +
+    # class gather + summaries); k13 = pm packed screen (3 sorts + run
+    # lengths + value histogram + cumsum/elementwise + summaries)
+    "pipeline_bases_per_sec_k12": 2 * 3.2 + 1.3 + 1.0 + 0.5 + 0.3,
     "pipeline_bases_per_sec_k13": 3 * 3.2 + 1.3 + 0.5 + 0.5 + 0.3,
-    # smallv = 2 sorts + run lengths + 3 cumsums + stride-4 compaction
-    # sort + histogram + summaries
+    # smallv = 2 sorts + run lengths + 3 cumsums + 1-operand index-
+    # extract sort + histogram + summaries
     "pipeline_bases_per_sec_k15":
-        2 * 3.2 + 1.3 + 0.9 + 1.05 + 0.5 + 0.3,
+        2 * 3.2 + 1.3 + 0.45 + 2.5 + 0.5 + 0.3,
     "device_bases_per_sec_k15":
-        2 * 3.2 + 1.3 + 0.9 + 1.05 + 0.5 + 0.3,
+        2 * 3.2 + 1.3 + 0.45 + 2.5 + 0.5 + 0.3,
 }
 
 
@@ -365,6 +366,48 @@ def bench_count(nbases, k, reps, chain):
     return n / t
 
 
+def bench_batch(total_bases, reps):
+    """The reference's one real PARALLEL workload (test.R:553-567): 154
+    scaffolds, per-scaffold mononucleotide counts + 16-dimer window
+    distributions, mclapply over 20 cores in 3.048 s elapsed.
+
+    Scaffold lengths are assembly-like (power-law, bucket-aligned so the
+    window engine reuses its compiled shapes).  Baseline: the lumpfish
+    assembly behind test.R is ~575 Mb, so the reference's 20-core rate
+    is ~575/3.048 = 189 Mb/s (documented estimate — test.R prints no
+    base count); vs_baseline compares one chip against those 20 cores.
+    """
+    from kmer_spans_tpu import api
+    from kmer_spans_tpu.encoding import PackedSeq, all_kmers
+
+    rng = np.random.default_rng(3)
+    # 154 lengths, power-law-ish, rounded to 64 KiB so length buckets
+    # dedupe compiles; rescaled to total_bases
+    raw = np.sort(rng.pareto(1.2, size=154) + 0.05)[::-1]
+    lengths = np.maximum(
+        (raw / raw.sum() * total_bases / 65536).astype(np.int64), 1
+    ) * 65536
+    seqs = []
+    for L in lengths:
+        b = rng.integers(0, 4, size=int(L), dtype=np.uint8)
+        seqs.append(PackedSeq(bases=b, valid=np.ones(int(L), bool)))
+    total = int(lengths.sum())
+    dimers = all_kmers(2)
+    log(f"batch: 154 scaffolds, {total/1e6:.0f} Mb total, "
+        f"longest {lengths[0]/1e6:.1f} Mb")
+
+    ts = []
+    for _ in range(reps):
+        t0 = time.time()
+        for p in seqs:
+            api.kmer_counts(p, 1, with_f=True, backend="jax")
+        api.window_kmer_dist(seqs, dimers, 200, freq=True, backend="jax")
+        ts.append(time.time() - t0)
+    t = min(ts)
+    log(f"batch 154 scaffolds: {t:.2f}s ({total/t/1e6:.0f} Mbases/s)")
+    return total / t
+
+
 def bench_window(n, reps):
     """Windowed engine at the reference's 48 Mb / 16 dimers / w=200."""
     import jax
@@ -438,6 +481,10 @@ def main():
              (nbases[: min(n, 100_663_296)], 12, max(1, reps - 1), 1)),
             (bench_window, "window_bases_per_sec", _REF_WINDOW_RATE,
              (48 * 1024 * 1024, reps)),
+            # the mclapply batch workload (test.R:553-567): ~575 Mb /
+            # 3.048 s on 20 cores ~= 189 Mb/s (see bench_batch docstring)
+            (bench_batch, "batch_scaffolds_bases_per_sec", 1.89e8,
+             (1 << 28, max(1, reps - 1))),
         ]:
             try:
                 r = fn(*args)
@@ -464,9 +511,21 @@ def main():
                 continue
             try:
                 nkk = min(n, nmax)
-                r = bench_pm_pipeline(
-                    nbases[:nkk], kk, thr, min_w, min_s,
-                    block, min(512, nkk // block), max(1, reps - 1))
+                if kk == 12:
+                    # k=12: the 4^k host radix recount (1.26 s / 200 Mb)
+                    # still hides under the 2.7 s device step even on
+                    # this 2-core box, and the old sort screen is ~3 ns
+                    # cheaper than the pm screen's extra sort — fastest
+                    # config wins; the recount-free pm path is the k>=13
+                    # default and the weak-host alternative here
+                    r = bench_pipeline(
+                        nbases[:nkk], kk, thr, min_w, min_s,
+                        block, min(512, nkk // block),
+                        max(1, reps - 1), 1)
+                else:
+                    r = bench_pm_pipeline(
+                        nbases[:nkk], kk, thr, min_w, min_s,
+                        block, min(512, nkk // block), max(1, reps - 1))
                 rows.append({
                     "metric": f"pipeline_bases_per_sec_k{kk}",
                     "value": round(r), "unit": "bases/s",

@@ -146,9 +146,12 @@ def main():
         return start2[::1024], spos2[::1024]
 
     def s_full(nb_arr):
+        # return a slice of EVERY output family or XLA dead-codes the
+        # list extraction (the round-5 lab's first run did exactly that)
         codes, kv = codes_of(nb_arr)
         scr = pm_sort_screen(codes, kv, k)
-        return scr["pm"][::1024], scr["total"]
+        return (scr["pm"][::1024], scr["total"], scr["vh"][:8],
+                scr["list_codes"][:8], scr["list_count"])
 
     if k <= 14:
         stage("sort1", s_sort1)
@@ -178,7 +181,7 @@ def main():
             v = _run_lengths(head, n)
             real = skey < size
             (lc,), lv, cnt = _extract_list(
-                (skey,), v, real, t_list, stride, cap)
+                (skey,), v, head, real, t_list, stride, cap)
             return lc, cnt
 
         stage("sort1", s_sort1)

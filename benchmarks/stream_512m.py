@@ -74,6 +74,31 @@ def main():
     print(f"OK: {len(got)} regions bit-identical to the native oracle",
         flush=True)
 
+    if os.environ.get("STREAM_SCORING", "0") == "1":
+        # round-5: stream the SAME genome under a non-rank scoring model
+        # (BASELINE config 4 "all three scoring functions") and validate
+        # against the native caller with the model's weight table
+        from kmer_spans_tpu.models.scoring import ThresholdScoring
+
+        model = ThresholdScoring(counts, 1.5 / (1 << (2 * k)))
+        t0 = time.time()
+        res2 = pipe.scan_stream(
+            chunks, None, nw, 0.75, 100, 20.0,
+            counts_host=counts, model=model)
+        t2 = time.time() - t0
+        print(f"stream threshold-scoring scan: {t2:.1f}s "
+              f"({N/t2/1e6:.0f} Mbases/s) regions={len(res2.regions)} "
+              f"unresolved={res2.unresolved}", flush=True)
+        b2, e2, s2, _ = native.find_spans(
+            g, k, model.weights, model.threshold, 100, 20.0)
+        got2 = [(r[1], r[2], r[3]) for r in res2.regions]
+        want2 = [(int(b), int(e), float(s))
+                 for b, e, s in zip(b2, e2, s2)]
+        assert got2 == want2, (
+            f"SCORING MISMATCH: {len(got2)} vs {len(want2)}")
+        print(f"OK: {len(got2)} threshold-scoring regions bit-identical",
+              flush=True)
+
 
 if __name__ == "__main__":
     main()

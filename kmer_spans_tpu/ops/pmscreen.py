@@ -36,13 +36,14 @@ Two strategies produce that order from the existing code-sort:
   pm = below(v) + v * eqbelow(c) with below(v) a scalar.  Runs with
   v >= T ship in the explicit list; their positions get pm = -1.
 
-LIST EXTRACTION (fixed shape, sound): a run with v >= T occupies >= T
-contiguous positions in the code-sorted order, so decimating that order
-by stride <= T samples EVERY such run at least once; head-flagging the
-decimated view dedupes to exactly one record per run, and a small
-flag-first sort compacts the records into a fixed-capacity buffer.  The
-true qualifying-run count travels too — capacity overflow is flagged,
-never silent (the caller falls back).
+LIST EXTRACTION (fixed shape, sound): one record per run with v >= T,
+compacted into a fixed-capacity buffer either by decimating the sorted
+order (stride <= T samples every qualifying run; packed strategy) or by
+one single-operand sort of flagged head indices + point gathers
+(smallv, where a small stride's strided slices would relayout the whole
+array — benchmarks/pm_lab.py).  The true qualifying-run count travels
+too — capacity overflow is flagged, never silent (the caller falls
+back).
 
 The HOST needs only: per-position pm for candidate blocks (one i32 per
 position in the existing top-C pull), the 256-bin run-value histogram,
@@ -109,16 +110,43 @@ def pm_params(k: int, strategy: str | None = None):
     return t_list, stride, nbins, cap
 
 
-def _extract_list(keys, v, real, t_list, stride, cap):
+def _extract_list(keys, v, head, real, t_list, stride, cap):
     """Fixed-capacity (code..., v) records of every run with v >= t_list.
 
     keys: tuple of code component arrays in SORTED (code) order (1 for
-    narrow, 2 for wide); v: run lengths; real: not-sentinel.  Returns
-    (list_keys tuple, list_v, count) — entries beyond the captured runs
-    are -1/-1.  Soundness: stride <= t_list guarantees every qualifying
-    run is sampled (see module docstring).
+    narrow, 2 for wide); v: run lengths; head/real: run-head flags /
+    not-sentinel.  Returns (list_keys tuple, list_v, count) — entries
+    beyond the captured runs are -1/-1.
+
+    Two mechanisms (identical contract):
+      * stride >= 8 (packed strategy, k <= 14): decimate the sorted
+        order by stride <= t_list — every qualifying run (length >= v
+        >= t_list) is sampled, adjacent-equal dedupes to one record —
+        then a tiny flag-first sort over n/stride compacts.
+      * stride < 8 (smallv): ONE single-operand sort of flagged head
+        INDICES + cap point gathers.  The round-5 lab measured the
+        stride-4 decimation at +14 ns/element (strided slices lower to
+        whole-array relayouts, benchmarks/pm_lab.py) vs ~2.5 for the
+        index sort.
     """
     i32 = jnp.int32
+    n = v.shape[0]
+    flag_full = head & real & (v >= t_list)
+    count = jnp.sum(flag_full.astype(i32))
+    if stride < 8:
+        idx = jax.lax.iota(i32, n)
+        sidx = jax.lax.sort(
+            jnp.where(flag_full, idx, jnp.int32(0x7FFFFFFF)))
+        sel = sidx[:cap]
+        if n < cap:  # fixed output shape for short (test-sized) inputs
+            sel = jnp.concatenate([
+                sel, jnp.full((cap - n,), 0x7FFFFFFF, i32)])
+        got = sel < jnp.int32(n)
+        selc = jnp.minimum(sel, n - 1)
+        list_keys = tuple(
+            jnp.where(got, a[selc], -1) for a in keys)
+        list_v = jnp.where(got, v[selc], -1)
+        return list_keys, list_v, count
     decs = [a[::stride] for a in keys]
     vdec = v[::stride]
     rdec = real[::stride]
@@ -128,7 +156,6 @@ def _extract_list(keys, v, real, t_list, stride, cap):
         change = change | jnp.concatenate(
             [jnp.ones((1,), bool), d[1:] != d[:-1]])
     flag = change & rdec & (vdec >= t_list)
-    count = jnp.sum(flag.astype(i32))
     fkey = jnp.where(flag, 0, 1).astype(i32)
     sorted_ops = jax.lax.sort(
         (fkey, *decs, vdec), num_keys=1 + len(decs))
@@ -226,7 +253,7 @@ def pm_sort_screen(codes, kmer_valid, k: int, list_cap: int | None = None,
     else:
         pm_s, spos_s = _pm_smallv(v, head, real, t_list), spos
     (lc,), lv, count = _extract_list(
-        (skey,), v, real, t_list, stride, cap)
+        (skey,), v, head, real, t_list, stride, cap)
     _, pm = jax.lax.sort((spos_s, pm_s), num_keys=1)
     return {
         "pm": pm, "total": total, "vh": vh,
@@ -262,7 +289,7 @@ def pm_sort_screen_wide(hi, lo, kmer_valid, k: int,
 
     vh = pallas_histogram(jnp.minimum(v, nbins - 1), head & real, nbins)
     (lh, ll), lv, count = _extract_list(
-        (k1, k2), v, real, t_list, stride, cap)
+        (k1, k2), v, head, real, t_list, stride, cap)
     pm_s = _pm_smallv(v, head, real, t_list)
     _, pm = jax.lax.sort((spos, pm_s), num_keys=1)
     return {

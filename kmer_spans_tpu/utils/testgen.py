@@ -45,3 +45,64 @@ def spectrum_checksum(counts: np.ndarray) -> int:
         for c in np.asarray(counts, dtype=np.uint64):
             cks = cks * mul + c
     return int(cks)
+
+
+#: human-like mononucleotide frequencies (GC ~ 41%)
+_REAL_MONO = np.array([0.295, 0.205, 0.295, 0.205])  # A, C, T, G
+#: CpG observed/expected depletion in mammalian genomes (~0.2-0.25)
+_CPG_DEPLETION = 0.22
+
+
+def realistic_genome(n: int = 2_000_000, seed: int = 7) -> np.ndarray:
+    """A REALISTIC synthetic chromosome (closest achievable stand-in for
+    the real-assembly validation of test.R:104-106 / :572-590 in a
+    zero-egress environment — no public FASTA can be fetched here).
+
+    Composition is a 1st-order Markov chain with human-like GC content
+    (41%) and CpG dinucleotide depletion (obs/exp ~ 0.22), overlaid with
+    the repeat structure real callers hit: dispersed ~300 bp "Alu-like"
+    elements at ~8% divergence, tandem microsatellites ((AC)n, (AT)n,
+    (CAG)n), poly-A tails, and assembly N gaps.  Returns nbases uint8
+    (N == 4).  Deterministic per seed.
+    """
+    rng = np.random.default_rng(seed)
+    # 1st-order transition matrix: start from the product model, scale
+    # the C->G odds by the depletion factor, renormalize rows
+    mono = _REAL_MONO  # order A, C, T, G (2-bit code order)
+    trans = np.tile(mono, (4, 1))
+    trans[1, 3] *= _CPG_DEPLETION  # C followed by G
+    trans /= trans.sum(axis=1, keepdims=True)
+    # vectorized chain: per-position uniform draws walked through the
+    # cumulative transition rows in chunks (python loop over chunks only)
+    out = np.empty(n, np.uint8)
+    cum = np.cumsum(trans, axis=1)
+    u = rng.random(n)
+    state = int(rng.integers(0, 4))
+    chunk = 1 << 16
+    for s in range(0, n, chunk):
+        e = min(s + chunk, n)
+        for i in range(s, e):  # simple chain; testgen-only cost
+            state = int(np.searchsorted(cum[state], u[i], side="right"))
+            out[i] = state
+    # dispersed Alu-like family: one 300 bp consensus, ~8% divergence
+    alu = rng.integers(0, 4, 300, dtype=np.uint8)
+    for start in range(50_000, n - 400, 97_000):
+        copy = alu.copy()
+        div = rng.random(300) < 0.08
+        copy[div] = rng.integers(0, 4, int(div.sum()), dtype=np.uint8)
+        out[start:start + 300] = copy
+        # poly-A tail
+        out[start + 300:start + 300 + 12] = 0
+    # tandem microsatellites
+    for start, unit, reps in (
+        (200_000, (0, 1), 150),        # (AC)n
+        (700_000, (0, 2), 200),        # (AT)n
+        (1_300_000, (1, 0, 3), 120),   # (CAG)n
+    ):
+        if start + len(unit) * reps < n:
+            out[start:start + len(unit) * reps] = np.tile(
+                np.array(unit, np.uint8), reps)
+    # assembly N gaps
+    for start in range(400_000, n - 2_000, 650_000):
+        out[start:start + 1_500] = 4
+    return out

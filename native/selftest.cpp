@@ -18,6 +18,8 @@ int64_t ks_spans(const uint8_t*, int64_t, int32_t, const double*, double,
                  int64_t, double, int64_t*, int64_t*, double*, int64_t,
                  int64_t*);
 void ks_pack(const uint8_t*, int64_t, uint8_t*);
+int64_t ks_pack2(const uint8_t*, int64_t, uint32_t*, int32_t*, int32_t*,
+                 int64_t);
 int64_t ks_pack_fasta_body(const uint8_t*, int64_t, uint8_t*);
 int64_t ks_replay_packed(const uint32_t*, const uint8_t*, int64_t, int64_t,
                          int32_t, const double*, double, int64_t, double,
@@ -265,6 +267,38 @@ int main() {
             acc += (double)c[idx[j]] / total;
         }
         printf("rank chain selftest ok\n");
+    }
+
+    // ks_pack2: 2-bit words + N-run intervals roundtrip, incl. overflow
+    {
+        const int64_t m = 5000;
+        std::vector<uint8_t> nb(m);
+        for (int64_t i = 0; i < m; ++i) nb[i] = (uint8_t)(i * 7 % 4);
+        for (int64_t i = 100; i < 130; ++i) nb[i] = 4;
+        nb[500] = 4; nb[m - 1] = 4; nb[0] = 4;
+        std::vector<uint32_t> w((m + 15) / 16);
+        std::vector<int32_t> st(8), ln(8);
+        int64_t runs = ks_pack2(nb.data(), m, w.data(), st.data(),
+                                ln.data(), 8);
+        if (runs != 4) {
+            fprintf(stderr, "pack2 run count %lld\n", (long long)runs);
+            return 1;
+        }
+        std::vector<uint8_t> back(m, 0);
+        for (int64_t i = 0; i < m; ++i)
+            back[i] = (uint8_t)((w[i / 16] >> (2 * (i % 16))) & 3);
+        for (int64_t r = 0; r < runs; ++r)
+            for (int32_t j = 0; j < ln[r]; ++j) back[st[r] + j] = 4;
+        for (int64_t i = 0; i < m; ++i)
+            if (back[i] != nb[i]) {
+                fprintf(stderr, "pack2 roundtrip @%lld\n", (long long)i);
+                return 1;
+            }
+        // capacity overflow: returns the TRUE count, writes only cap
+        int64_t ro = ks_pack2(nb.data(), m, w.data(), st.data(),
+                              ln.data(), 2);
+        if (ro != 4) { fprintf(stderr, "pack2 overflow count\n"); return 1; }
+        printf("pack2 selftest ok: %lld runs\n", (long long)runs);
     }
 
     printf("selftest ok: %lld region(s), scan counts %lld\n",
