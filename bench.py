@@ -119,7 +119,7 @@ def bench_pm_pipeline(nbases, k, thr, min_w, min_s, block, cand, reps):
     out = fn(dev, thr32)
     sync_scalar(out)
     log(f"compile+first run: {time.time()-t0:.1f}s  (pm screen, "
-        f"t_list={meta['t_list']} cand={cand})")
+        f"cand={cand})")
 
     t0 = time.time()
     o = None
@@ -523,9 +523,12 @@ def main():
                         block, min(512, nkk // block),
                         max(1, reps - 1), 1)
                 else:
+                    # cand=256: the pm pull ships one i32 per candidate
+                    # position, so capacity is the D2H knob (8 MB vs
+                    # 16 MB at 512); bench genomes mark ~120 blocks
                     r = bench_pm_pipeline(
                         nbases[:nkk], kk, thr, min_w, min_s,
-                        block, min(512, nkk // block), max(1, reps - 1))
+                        block, min(256, nkk // block), max(1, reps - 1))
                 rows.append({
                     "metric": f"pipeline_bases_per_sec_k{kk}",
                     "value": round(r), "unit": "bases/s",

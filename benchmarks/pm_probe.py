@@ -60,8 +60,7 @@ def main():
         else:
             fn, meta = make_pm_span_pipeline(k, block=block,
                                              cand_blocks=cand)
-        log(f"--- k={k} n={n:,} cand={cand} t_list={meta['t_list']} "
-            f"cap={meta['list_cap']}")
+        log(f"--- k={k} n={n:,} cand={cand} cap={meta['list_cap']}")
 
         t0 = time.time()
         dev = jax.device_put(nbases)

@@ -82,32 +82,91 @@ PM_CAP_SMALLV = 1 << 17
 
 
 def pm_strategy(k: int) -> str:
-    """Strategy for narrow codes: packed key while v-clip >= 15."""
+    """Default strategy for narrow codes ignoring n (see choose_params)."""
     if not 10 <= k <= 15:
         raise ValueError("pm screen needs 10 <= k <= 15 (narrow codes)")
     return "packed" if k <= 14 else "smallv"
 
 
-def pm_params(k: int, strategy: str | None = None):
-    """(t_list, stride, nbins, default_cap) for a pm screen build.
+def _pois_tail(lam: float, t: int) -> float:
+    """P(Poisson(lam) >= t), summed directly (t <= ~16 here)."""
+    import math
+
+    if lam <= 0:
+        return 0.0
+    if lam > 60:  # tail ~ 1 for any t <= 16
+        return 1.0
+    p = math.exp(-lam)
+    cdf = p
+    for i in range(1, t):
+        p *= lam / i
+        cdf += p
+    return max(0.0, 1.0 - cdf)
+
+
+def pm_cap(k: int) -> int:
+    """Static list capacity per k (unpack layout must not depend on n)."""
+    return PM_CAP_PACKED if k <= 12 else PM_CAP_SMALLV
+
+
+def choose_params(k: int, n: int, wide: bool = False):
+    """(strategy, t_list) chosen at trace time from the STATIC length n.
+
+    The smallv strategy (per-value cumsums, no second sort: ~2.7 ns/el
+    cheaper than the packed key at k=13) is usable whenever the
+    expected number of runs with v >= T fits the list comfortably.
+    With lam = n/4^k i.i.d.-ish, E[#codes v >= T] = 4^k * P(Pois >= T);
+    the smallest T in [SMALLV_T, 13] with E <= cap/8 wins (T-1 cumsums
+    measured at ~0.05 ns/el each, benchmarks/pm_lab.py).  Repeat-heavy
+    real inputs can still overflow the list at runtime — that's the
+    flagged-fallback path, never silent.  No usable T -> packed key
+    (k <= 14; k = 15 always finds one at n < 2^31).
+    """
+    size = float(4 ** k)
+    lam = n / size
+    cap = PM_CAP_SMALLV if (wide or k >= 13) else pm_cap(k)
+    if wide or k >= 13:
+        for t in range(SMALLV_T, 14):
+            if size * _pois_tail(lam, t) <= cap / 8:
+                return "smallv", t
+    if wide or k > 14:
+        # no safe T: k=15/wide fall back to the largest T with the
+        # overflow flag as the guard (extreme n for the one-shot path)
+        return "smallv", 13
+    b = 32 - 2 * k
+    return "packed", min(1 << b, 4096) - 1
+
+
+def pm_params(k: int, strategy: str | None = None, n: int | None = None,
+              wide: bool = False):
+    """(strategy, t_list, stride, nbins, cap) for a pm screen build.
 
     t_list: runs with v >= t_list ship in the explicit list (for the
     packed strategy this is also the key clip, capped at 4095 so the
-    value histogram stays small); stride: the decimation step
-    (<= t_list, power of two); nbins: value-histogram bins (>= 256 for
-    the Pallas one-hot kernel, covering [0, t_list]).
+    value histogram stays small); stride: the decimation step of the
+    packed extractor (<= t_list, power of two; smallv uses the index
+    sort); nbins: value-histogram bins (>= 256 for the Pallas one-hot
+    kernel, covering [0, t_list]); cap: static per-k list capacity.
     """
-    strategy = strategy or pm_strategy(k)
-    if strategy == "packed":
-        b = 32 - 2 * k
-        t_list = min(1 << b, 4096) - 1
-        cap = PM_CAP_PACKED
+    if strategy is None:
+        if n is not None:
+            strategy, t_list = choose_params(k, n, wide)
+        else:
+            strategy = "smallv" if wide else pm_strategy(k)
+            t_list = None
     else:
-        t_list = SMALLV_T
-        cap = PM_CAP_SMALLV
-    stride = max(1, 1 << (max(t_list, 1).bit_length() - 1))
-    nbins = max(min(t_list + 1, 4096), 256)
-    return t_list, stride, nbins, cap
+        t_list = None
+    if t_list is None:
+        if strategy == "packed":
+            t_list = min(1 << (32 - 2 * k), 4096) - 1
+        else:
+            t_list = SMALLV_T
+    cap = PM_CAP_SMALLV if (wide or k >= 13) else pm_cap(k)
+    stride = (4 if strategy == "smallv"
+              else max(1, 1 << (max(t_list, 1).bit_length() - 1)))
+    nbins = max(min((1 << (32 - 2 * k)) if not wide and k <= 12 else 256,
+                    4096), 256)
+    return strategy, t_list, stride, nbins, cap
 
 
 def _extract_list(keys, v, head, real, t_list, stride, cap):
@@ -229,10 +288,10 @@ def pm_sort_screen(codes, kmer_valid, k: int, list_cap: int | None = None,
       list_count i32 — TRUE qualifying-run count (overflow check);
       t_list — python int, the list threshold.
     """
-    strategy = strategy or pm_strategy(k)
-    t_list, stride, nbins, cap = pm_params(k, strategy)
-    cap = list_cap or cap
     n = codes.shape[0]
+    strategy, t_list, stride, nbins, cap = pm_params(
+        k, strategy, n=int(n))
+    cap = list_cap or cap
     size = 1 << (2 * k)
     i32 = jnp.int32
     key = jnp.where(kmer_valid, codes, size)
@@ -270,9 +329,10 @@ def pm_sort_screen_wide(hi, lo, kmer_valid, k: int,
     smallv strategy always applies.  Same contract as pm_sort_screen
     with (list_hi, list_lo) int32 pairs instead of list_codes.
     """
-    t_list, stride, nbins, cap = pm_params(16, "smallv")
-    cap = list_cap or cap
     n = hi.shape[0]
+    strategy, t_list, stride, nbins, cap = pm_params(
+        k, None, n=int(n), wide=True)
+    cap = list_cap or cap
     i32 = jnp.int32
     sent = jnp.int32(1 << 30)  # > any valid hi (k <= 23 -> hi < 2^30)
     key1 = jnp.where(kmer_valid, hi, sent)

@@ -85,18 +85,17 @@ def make_pm_span_pipeline(
         blocked_scored,
     )
     from ..ops.gather import screen_thr_q
-    from ..ops.pmscreen import (
-        pm_params,
-        pm_scores_int,
-        pm_sort_screen,
-        pm_strategy,
-    )
+    from ..ops.pmscreen import pm_cap, pm_params, pm_scores_int, \
+        pm_sort_screen
 
     if block % 16:
         raise ValueError("block must be a multiple of 16")
-    strat = strategy or pm_strategy(k)
-    t_list, _, nbins, cap = pm_params(k, strat)
+    # strategy and t_list are chosen INSIDE the screen at trace time
+    # from the static n (choose_params); they ride in the packed vector.
+    # nbins/cap are static per k so the unpack layout is n-independent.
+    _, _, _, nbins, cap = pm_params(k, "packed" if k <= 14 else "smallv")
     cap = list_cap or cap
+    strat = strategy
 
     @jax.jit
     def fn(nbases, thr):
@@ -146,12 +145,12 @@ def make_pm_span_pipeline(
             scr["list_codes"].astype(jnp.int32),
             scr["list_v"].astype(jnp.int32),
             scr["list_count"].reshape(1).astype(jnp.int32),
+            jnp.full((1,), scr["t_list"], jnp.int32),
         ])
 
     # metadata the unpacker/finisher need (fixed per build)
     meta = {"k": k, "block": block, "cand_blocks": cand_blocks,
-            "list_cap": cap, "wide": False, "t_list": t_list,
-            "nbins": nbins}
+            "list_cap": cap, "wide": False, "nbins": nbins}
     return fn, meta
 
 
@@ -175,17 +174,14 @@ def make_wide_pm_pipeline(
         blocked_scored,
     )
     from ..ops.gather import screen_thr_q
-    from ..ops.pmscreen import (
-        pm_params,
-        pm_scores_int,
-        pm_sort_screen_wide,
-    )
+    from ..ops.pmscreen import pm_params, pm_scores_int, \
+        pm_sort_screen_wide
 
     if not 16 <= k <= WIDE_MAX_K:
         raise ValueError(f"wide pipeline needs 16 <= k <= {WIDE_MAX_K}")
     if block % 16:
         raise ValueError("block must be a multiple of 16")
-    t_list, _, nbins, cap = pm_params(16, "smallv")
+    _, _, _, nbins, cap = pm_params(16, "smallv")
     cap = list_cap or cap
 
     @jax.jit
@@ -238,11 +234,11 @@ def make_wide_pm_pipeline(
             scr["list_lo"].astype(jnp.int32),
             scr["list_v"].astype(jnp.int32),
             scr["list_count"].reshape(1).astype(jnp.int32),
+            jnp.full((1,), scr["t_list"], jnp.int32),
         ])
 
     meta = {"k": k, "block": block, "cand_blocks": cand_blocks,
-            "list_cap": cap, "wide": True, "t_list": t_list,
-            "nbins": nbins}
+            "list_cap": cap, "wide": True, "nbins": nbins}
     return fn, meta
 
 
@@ -289,6 +285,7 @@ def unpack_pm_outputs(vec, n: int, meta: dict) -> dict:
         out["list_codes"] = take(cap).astype(np.int64)
     out["list_v"] = take(cap).astype(np.int64)
     out["list_count"] = int(take(1)[0])
+    out["t_list"] = int(take(1)[0])
     assert off == v.shape[0], (off, v.shape)
     return out
 
@@ -369,7 +366,7 @@ def finish_pm_spans(
     if (cand & ~have).any():
         return SpanPipelineResult(regions=[], fallback=True)
 
-    v_vals, n_codes, lcodes, lpm = _pm_host_tables(out, meta["t_list"])
+    v_vals, n_codes, lcodes, lpm = _pm_host_tables(out, out["t_list"])
     total = out["total"]
     pos_in_pull = {int(b): i for i, b in enumerate(top_idx)}
     scored = np.asarray(out["scored"])

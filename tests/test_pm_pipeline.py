@@ -143,9 +143,9 @@ def test_pm_pipeline_k15_smallv():
     block, cand = 1024, 32
     arr, n = _arr(seq, block)
     fn, meta = make_pm_span_pipeline(k, block=block, cand_blocks=cand)
-    assert meta["t_list"] == 4  # smallv
     v = np.asarray(fn(jnp.asarray(arr), jnp.float32(0.75)))
     out = unpack_pm_outputs(v, n, meta)
+    assert out["t_list"] >= 4  # smallv, n-adaptive threshold
     res = finish_pm_spans(out, n, meta, 0.75, 30, 5.0)
     assert not res.fallback
     # sparse oracle: same exact f64 chain restricted to present codes
