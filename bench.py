@@ -146,7 +146,9 @@ def bench_pm_pipeline(nbases, k, thr, min_w, min_s, block, cand, reps):
     log(f"serial rep: {t_serial:.3f}s  regions={len(regions.regions)} "
         f"fallback={regions.fallback}")
 
-    p_reps = max(3, reps)
+    # enough reps that the first-fill/last-drain tails (the pull+finish
+    # of the final queued reps) amortize out of the steady-state rate
+    p_reps = max(6, reps)
     t0 = time.time()
     q = []
 
