@@ -427,6 +427,11 @@ class StreamingSpanPipeline:
             )
             if h:
                 prev_tail = arr[-h:]
+        # force the queued count chunks to complete INSIDE this phase:
+        # without the sync, finish_rank's blocking spectrum pull absorbs
+        # all outstanding count H2D/compute and the per-phase metrics
+        # misattribute it to "rank" (round-4 weak #5)
+        float(np.asarray(acc[0].ravel()[0]))
         return acc
 
     def finish_rank(self, acc):
@@ -603,6 +608,7 @@ class StreamingSpanPipeline:
 
         chunks = list(chunk_iter_factory())
         base = 0
+        staged = {}  # ci -> (args, packed): H2D prefetched under compute
         for ci, raw in enumerate(chunks):
             arr = self._pad(raw)
             if ci < start_chunk:
@@ -610,12 +616,19 @@ class StreamingSpanPipeline:
                 continue
             if stop_after_chunk is not None and ci > stop_after_chunk:
                 break  # simulated interruption (scan resumes via checkpoint)
-            args, packed = self._chunk_args(arr)
+            args, packed = staged.pop(ci, None) or self._chunk_args(arr)
             is_last = ci == len(chunks) - 1
             next_v = jnp.asarray(
                 False if is_last else chunks[ci + 1][0] != 4)
             t0 = _time.perf_counter()
             summary, payload = dispatch_scan(args, packed, x_in)
+            if ci + 1 < len(chunks):
+                # prefetch the NEXT chunk's pack + H2D while this
+                # chunk computes (the summary pull below blocks): the
+                # per-chunk H2D otherwise serializes with compute and
+                # was the difference between ~110 and ~150+ Mb/s steady
+                staged[ci + 1] = self._chunk_args(
+                    self._pad(chunks[ci + 1]))
             tA, tB, maxA, maxB, top_idx = self._unpack_summary(summary)
             res, open_next, x_in = self._finish_chunk(
                 tA, tB, maxA, maxB, top_idx, payload, x_in,
