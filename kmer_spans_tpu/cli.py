@@ -127,6 +127,15 @@ def cmd_stream(args):
             acc = pipe.accumulate_counts(chunks_of(seq), acc=acc)
     with metrics.phase("rank"):
         mass, total = pipe.finish_rank(acc)
+        model = None
+        if args.scoring == "threshold":
+            from .models.scoring import ThresholdScoring
+
+            model = ThresholdScoring(pipe._counts_host, args.f_t)
+        elif args.scoring == "log2med":
+            from .models.scoring import Log2MedianScoring
+
+            model = Log2MedianScoring(pipe._counts_host)
     sys.stdout.write("seq\tbeg\tend\tscore\n")
     total_regions = total_unresolved = 0
     for si, name, seq in kept:
@@ -134,7 +143,7 @@ def cmd_stream(args):
         res = pipe.scan_stream(
             chunks_of(seq), mass, total, args.thr, args.min_width,
             args.min_score, seq_id=si, checkpoint_path=ckpt,
-            resume=args.resume, metrics=metrics,
+            resume=args.resume, metrics=metrics, model=model,
         )
         for sid, beg, end, score in res.regions:
             sys.stdout.write(f"{name}\t{beg}\t{end}\t{score:.6f}\n")
@@ -271,6 +280,12 @@ def main(argv=None):
     sp.add_argument("--resume", action="store_true")
     sp.add_argument("--metrics", action="store_true",
                     help="print per-phase metrics JSON to stderr")
+    sp.add_argument("--scoring", choices=["rank", "threshold", "log2med"],
+                    default="rank",
+                    help="scoring model for the streamed scan "
+                         "(README.md:25-54 variants)")
+    sp.add_argument("--f-t", type=float, default=1e-4,
+                    help="frequency threshold for --scoring threshold")
     sp.set_defaults(fn=cmd_stream)
 
     sp = sub.add_parser(
