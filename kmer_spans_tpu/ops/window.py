@@ -93,12 +93,7 @@ def windowed_counts_device(
     flat_kv = kmer_valid2d.reshape(-1)
     flat_v = valid2d.reshape(-1)
 
-    # group width bounded so PACKED 16-bit prefix lanes cannot overflow:
-    # prefixes reach at most RB + window and two tracked k-mers share
-    # one int32 (the per-k-mer cumsum is the engine's wall — packing
-    # halves the rows; lane-wise subtraction of monotone prefixes never
-    # borrows, so the windowed differences stay exact)
-    RB = min(max(((1 << 15) - window - 8) // 128 * 128, 128), n)
+    RB = min(1 << 16, n)
     if window > RB:
         raise ValueError("window larger than the group width")
     if with_positions and window + 2 > 32767:
@@ -120,28 +115,17 @@ def windowed_counts_device(
     ec = ext(flat_c, 0)
     ekv = ext(flat_kv, False)
     ev = ext(flat_v, False)
-    T2 = T + (T & 1)
-    trp = jnp.concatenate(
-        [tracked.astype(jnp.int32),
-         jnp.full((T2 - T,), -1, jnp.int32)])  # sentinel matches nothing
-    tr_lo = trp[0::2].reshape(T2 // 2, 1)
-    tr_hi = trp[1::2].reshape(T2 // 2, 1)
+    tr = tracked.astype(flat_c.dtype).reshape(T, 1)
 
     def body(_, xs):
         c, kvx, vx, g = xs                        # [RB+window], group idx
-        cc = c[None, :]
-        kvn = kvx[None, :]
-        occ = (((cc == tr_lo) & kvn).astype(jnp.int32)
-               | (((cc == tr_hi) & kvn).astype(jnp.int32) << 16))
+        occ = ((c[None, :] == tr) & kvx[None, :]).astype(jnp.int32)
         S = jnp.cumsum(occ, axis=1)
         Sx = jnp.concatenate(
-            [jnp.zeros((T2 // 2, 1), jnp.int32), S], axis=1)  # exclusive
+            [jnp.zeros((T, 1), jnp.int32), S], axis=1)  # exclusive
         # count[t] = occ summed over start slots t..t+window-k
-        # (end positions t+k-1 .. t+window-1); per-lane diff of monotone
-        # prefixes — no borrow, both lanes exact
-        cntp = Sx[:, window:window + RB] - Sx[:, k - 1:k - 1 + RB]
-        cnt = jnp.stack(
-            [cntp & 0xFFFF, cntp >> 16], axis=1).reshape(T2, RB)[:T]
+        # (end positions t+k-1 .. t+window-1)
+        cnt = Sx[:, window:window + RB] - Sx[:, k - 1:k - 1 + RB]
         inv = (~vx).astype(jnp.int32)
         Pi = jnp.concatenate(
             [jnp.zeros((1,), jnp.int32), jnp.cumsum(inv)])
