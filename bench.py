@@ -56,16 +56,16 @@ _FLOOR_NS = {
     "count_bases_per_sec_k8": 0.46,
     "count_bases_per_sec_k12": 11.7,               # scatter-add bound
     # k12 = round-4 sort screen (2 sorts + run lengths + 2 histograms +
-    # class gather + summaries); k13 = pm packed screen (3 sorts + run
-    # lengths + value histogram + cumsum/elementwise + summaries)
+    # class gather + summaries); k13/k15 = pm smallv screen (2 sorts +
+    # run lengths + T-1 cumsums (~0.05 each) + group-min extract
+    # (extract_lab.py: 0.6 at G=8, 1.1 at G=4) + histogram + summaries)
     "pipeline_bases_per_sec_k12": 2 * 3.2 + 1.3 + 1.0 + 0.5 + 0.3,
-    "pipeline_bases_per_sec_k13": 3 * 3.2 + 1.3 + 0.5 + 0.5 + 0.3,
-    # smallv = 2 sorts + run lengths + 3 cumsums + 1-operand index-
-    # extract sort + histogram + summaries
+    "pipeline_bases_per_sec_k13":
+        2 * 3.2 + 1.3 + 0.35 + 0.6 + 0.5 + 0.3,
     "pipeline_bases_per_sec_k15":
-        2 * 3.2 + 1.3 + 0.45 + 2.5 + 0.5 + 0.3,
+        2 * 3.2 + 1.3 + 0.15 + 1.1 + 0.5 + 0.3,
     "device_bases_per_sec_k15":
-        2 * 3.2 + 1.3 + 0.45 + 2.5 + 0.5 + 0.3,
+        2 * 3.2 + 1.3 + 0.15 + 1.1 + 0.5 + 0.3,
 }
 
 

@@ -5,7 +5,7 @@ For each k: time the device step (chained), a serial rep (dispatch +
 packed pull + host finish — NO recount anywhere), and a pipelined rep
 (async D2H riding under the next dispatch), then verify emitted regions
 against the native sequential oracle (k <= 13: full f64 chain table;
-k >= 15 via K15_CHECK=1 — minutes of host time for the 8 GB table).
+k = 15 via PM_CHECK_BIG=1 — minutes of host time for the 8 GB table).
 
 Run: python benchmarks/pm_probe.py > logs/pm_probe.log 2>&1
 Env: PM_KS (default "12,13,15"), PM_BASES_K12 (201326592),
