@@ -25,7 +25,7 @@ no production deployment would, which the chained form amortizes away.
 One-time costs excluded from the steady-state rate: XLA compile and the
 initial H2D staging (reported on stderr).
 
-Env knobs: BENCH_BASES (default 8e8), BENCH_K (default 8), BENCH_REPS
+Env knobs: BENCH_BASES (default 4e8), BENCH_K (default 8), BENCH_REPS
 (default 3), BENCH_BLOCK (8192), BENCH_CAND (auto), BENCH_CHAIN (4),
 BENCH_ROWS=0 to skip the secondary rows.
 """

@@ -57,7 +57,8 @@ def blocked_prefix_sum(x2d: jax.Array, rows_per_step: int = 64):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "window", "with_positions", "start_limit"),
+    static_argnames=("k", "window", "with_positions", "start_limit",
+                     "n_seqs"),
 )
 def windowed_counts_device(
     codes2d: jax.Array,
@@ -68,6 +69,8 @@ def windowed_counts_device(
     window: int,
     with_positions: bool = False,
     start_limit: int | None = None,
+    seg2d: jax.Array | None = None,
+    n_seqs: int | None = None,
 ):
     """Per-window occurrence counts + distributions for tracked k-mers.
 
@@ -83,6 +86,19 @@ def windowed_counts_device(
     chunked streaming engine (parallel/window_stream.py) feeds each chunk
     with a ``window``-base lookahead and masks starts beyond the chunk so
     every window is counted exactly once across chunks.
+
+    seg2d/n_seqs: PER-SEQUENCE mode for many-scaffold batches (the
+    reference's mclapply workload, test.R:553-567): scaffolds
+    concatenate with single-N separators (no window survives a
+    separator), seg2d carries each position's scaffold id, and the
+    count histogram runs over combined (scaffold, kmer, count) indices
+    — ONE program and ONE dispatch for the whole cohort instead of one
+    per scaffold (each dispatch pays ~30 ms through the dev tunnel).
+    dist is then [n_seqs, window+1, n_tracked].  Cost caveat: the
+    one-hot histogram scales with its bin count n_seqs*T*(window+2), so
+    this mode wins for small cohorts / few tracked k-mers; at 154
+    scaffolds x 16 dimers x w=200 the bins cost more than the dispatch
+    tax saved (round-5 measurement) and per-scaffold calls are faster.
     """
     from .pallas_kernels import pallas_histogram
 
@@ -141,14 +157,27 @@ def windowed_counts_device(
     cnt_all = cnts.transpose(1, 0, 2).reshape(T, -1)[:, :n]
     window_valid = wvs.reshape(-1)[:n]
 
-    # one MXU histogram over combined (kmer, count) indices
+    # one MXU histogram over combined (kmer, count) indices — plus the
+    # scaffold id in per-sequence mode
     W2 = window + 2
-    size = -(-(T * W2) // 128) * 128
     comb = cnt_all.astype(jnp.int32) + (
         jnp.arange(T, dtype=jnp.int32) * W2)[:, None]
-    dist_flat = pallas_histogram(
-        comb, jnp.broadcast_to(window_valid[None, :], comb.shape), size)
-    dist = dist_flat[:T * W2].reshape(T, W2)[:, :window + 1].T
+    if seg2d is not None:
+        S = int(n_seqs)
+        seg = seg2d.reshape(-1)[:n]
+        comb = comb + (seg * (T * W2))[None, :]
+        size = -(-(S * T * W2) // 128) * 128
+        dist_flat = pallas_histogram(
+            comb, jnp.broadcast_to(window_valid[None, :], comb.shape),
+            size)
+        dist = dist_flat[:S * T * W2].reshape(S, T, W2)[
+            :, :, :window + 1].transpose(0, 2, 1)
+    else:
+        size = -(-(T * W2) // 128) * 128
+        dist_flat = pallas_histogram(
+            comb, jnp.broadcast_to(window_valid[None, :], comb.shape),
+            size)
+        dist = dist_flat[:T * W2].reshape(T, W2)[:, :window + 1].T
 
     # int16 positions matrix: counts <= window-k+2 (guarded by the RB
     # check above, window <= 65536 => fits) — half the D2H bytes of int32

@@ -110,3 +110,52 @@ def test_streaming_window_engine_int16_positions():
     assert np.array_equal(dist, want_d)
     assert np.array_equal(cpos, want_c)
     assert int(cpos.max()) > 255  # counts genuinely exceed uint8
+
+
+def test_windowed_multi_sequence_matches_per_sequence():
+    """Per-sequence mode (one program for a scaffold cohort) must equal
+    running the engine per scaffold — the TPU-native mclapply shape
+    (test.R:553-567)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from kmer_spans_tpu.ops.blocked import blocked_codes
+    from kmer_spans_tpu.ops.window import windowed_counts_device
+
+    rng = np.random.default_rng(99)
+    k, window, B = 2, 40, 256
+    tracked = jnp.arange(16, dtype=jnp.int32)
+    lens = [1000, 3000, 513, 2048]
+    seqs = [rng.integers(0, 4, size=L, dtype=np.uint8) for L in lens]
+    seqs[1][100:130] = 4  # interior N run
+    # concatenate with single-N separators + segment ids
+    total = sum(lens) + len(lens) - 1
+    npad = -(-total // B) * B
+    cat = np.full(npad, 4, np.uint8)
+    seg = np.zeros(npad, np.int32)
+    pos = 0
+    offs = []
+    for i, s in enumerate(seqs):
+        if i:
+            pos += 1
+        offs.append(pos)
+        cat[pos:pos + len(s)] = s
+        seg[pos:] = i
+        pos += len(s)
+    b2 = jnp.asarray(cat & 3).reshape(-1, B).astype(jnp.int32)
+    v2 = jnp.asarray(cat < 4).reshape(-1, B)
+    codes, kv = blocked_codes(b2, v2, k)
+    dist_multi, _, _ = windowed_counts_device(
+        codes, kv, v2, tracked, k, window,
+        seg2d=jnp.asarray(seg).reshape(-1, B), n_seqs=len(seqs))
+    dist_multi = np.asarray(dist_multi)
+    assert dist_multi.shape == (len(seqs), window + 1, 16)
+    for i, s in enumerate(seqs):
+        n1 = -(-len(s) // B) * B
+        one = np.full(n1, 4, np.uint8)
+        one[:len(s)] = s
+        b1 = jnp.asarray(one & 3).reshape(-1, B).astype(jnp.int32)
+        v1 = jnp.asarray(one < 4).reshape(-1, B)
+        c1, kv1 = blocked_codes(b1, v1, k)
+        d1, _, _ = windowed_counts_device(c1, kv1, v1, tracked, k, window)
+        assert np.array_equal(dist_multi[i], np.asarray(d1)), i
