@@ -339,10 +339,7 @@ def bench_count(nbases, k, reps, chain):
     import jax.numpy as jnp
 
     from kmer_spans_tpu.ops.blocked import blocked_codes
-    from kmer_spans_tpu.ops.pallas_kernels import (
-        PALLAS_COUNT_MAX_K,
-        pallas_count_spectrum,
-    )
+    from kmer_spans_tpu.ops.pallas_kernels import PALLAS_COUNT_MAX_K
 
     n = nbases.shape[0]
 

@@ -33,7 +33,6 @@ from .models.scoring import (
     ThresholdScoring,
     WeightScoring,
 )
-from .spans.extract import extract_spans
 
 _REGION_DTYPE = np.dtype(
     [

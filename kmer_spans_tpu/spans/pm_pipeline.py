@@ -85,7 +85,7 @@ def make_pm_span_pipeline(
         blocked_scored,
     )
     from ..ops.gather import screen_thr_q
-    from ..ops.pmscreen import pm_cap, pm_params, pm_scores_int, \
+    from ..ops.pmscreen import pm_params, pm_scores_int, \
         pm_sort_screen
 
     if block % 16:
