@@ -228,3 +228,76 @@ def test_wide_pm_pipeline_matches_oracle():
     assert len(expect) >= 2
     assert [(r[1], r[2], r[3]) for r in res.regions] == \
         [(e[1], e[2], e[3]) for e in expect]
+
+
+@pytest.mark.parametrize("case", ["poly", "allN", "tiny", "alternating"])
+def test_pm_screen_adversarial_inputs(case):
+    """Degenerate inputs: one giant run (every position in the clip
+    list's range), all-N (zero counted k-mers), a sequence barely
+    longer than k, and a two-code alternation."""
+    from kmer_spans_tpu.ops.blocked import blocked_codes
+    from kmer_spans_tpu.ops.pmscreen import pm_sort_screen
+    from kmer_spans_tpu.oracle import count_spectrum_sparse
+    from kmer_spans_tpu.stats.ranks import sparse_mass
+
+    k = 12
+    if case == "poly":
+        seq = "A" * 4096
+    elif case == "allN":
+        seq = "N" * 4096
+    elif case == "tiny":
+        seq = "ACGTACGTACGTA"  # n = k + 1
+    else:
+        seq = "AG" * 2048
+    arr, n = _arr(seq, 512 if len(seq) >= 512 else 16)
+    import jax.numpy as jnp
+
+    W = arr.shape[0]
+    b2 = jnp.asarray(arr & 3).reshape(1, W).astype(jnp.int32)
+    v2 = jnp.asarray(arr < 4).reshape(1, W)
+    codes, kv = blocked_codes(b2, v2, k)
+    scr = pm_sort_screen(codes.reshape(-1), kv.reshape(-1), k)
+    ucodes, ucounts, nk = count_spectrum_sparse(seq, k)
+    assert int(scr["total"]) == nk
+    if nk == 0:
+        assert int(scr["list_count"]) == 0
+        return
+    pm_u, _, _ = sparse_mass(ucodes, ucounts)
+    pm = np.asarray(scr["pm"]).astype(np.int64)
+    kvn = np.asarray(kv).reshape(-1)
+    cn = np.asarray(codes).reshape(-1)
+    from kmer_spans_tpu.spans.pm_pipeline import _pm_host_tables
+
+    out = {"total": nk, "vh": np.asarray(scr["vh"]),
+           "list_codes": np.asarray(scr["list_codes"]).astype(np.int64),
+           "list_v": np.asarray(scr["list_v"]).astype(np.int64)}
+    v_vals, n_codes, lcodes, lpm = _pm_host_tables(out, scr["t_list"])
+    assert int((v_vals * n_codes).sum()) == nk
+    for p in np.nonzero(kvn)[0]:
+        i = int(np.searchsorted(ucodes, cn[p]))
+        want = pm_u[i]
+        if pm[p] >= 0:
+            assert pm[p] == want, (case, p)
+        else:
+            j = int(np.searchsorted(lcodes, cn[p]))
+            assert lcodes[j] == cn[p]
+            assert lpm[j] == want, (case, p)
+
+
+def test_pm_choose_params_strategy_flip():
+    """The n-adaptive strategy must flip packed->smallv as counts get
+    sparse, with the expected-list bound respected."""
+    from kmer_spans_tpu.ops.pmscreen import choose_params, PM_CAP_SMALLV
+
+    # k=13 at chunk scale: smallv with a raised T
+    s, t = choose_params(13, 100_663_296)
+    assert s == "smallv" and 4 <= t <= 13
+    # k=13 at 2 Gb: lam ~ 32 — no safe T, fall back to packed
+    s2, t2 = choose_params(13, 2_000_000_000)
+    assert s2 == "packed"
+    # k=15 always finds a smallv T below 2^31 bases
+    s3, t3 = choose_params(15, 2_000_000_000)
+    assert s3 == "smallv" and t3 <= 13
+    # wide k: smallv with tiny T at chunk scale
+    s4, t4 = choose_params(17, 100_663_296, wide=True)
+    assert s4 == "smallv" and t4 == 4
