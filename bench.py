@@ -273,9 +273,9 @@ def bench_pipeline(nbases, k, thr, min_w, min_s, block, cand, reps, chain):
 
     # pipelined steady state (headline); above k=9 each rep also re-pays
     # the host recount, overlapped with the device step as streaming would.
-    # No recount (k <= 9): more reps so the last rep's unhidden pull+finish
-    # tail amortizes out of the steady-state rate
-    p_reps = max(2, reps) if recount else max(5, reps + 2)
+    # Enough reps (and two walls below) that tunnel swings amortize —
+    # a 2-rep/1-wall recount measurement was pure weather lottery
+    p_reps = max(4, reps) if recount else max(5, reps + 2)
     from concurrent.futures import ThreadPoolExecutor
 
     # depth-3 dispatch queue: each rep's D2H (started eagerly with
@@ -305,7 +305,7 @@ def bench_pipeline(nbases, k, thr, min_w, min_s, block, cand, reps, chain):
     # two pipelined walls, min taken — the dev tunnel's run-to-run
     # jitter is a few % of a sub-second step (same min-of-steady-reps
     # convention as the serial diagnostic)
-    walls = 1 if recount else 2
+    walls = 2
     t_pipe = float("inf")
     for _ in range(walls):
         t0 = time.time()
