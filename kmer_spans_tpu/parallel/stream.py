@@ -622,13 +622,15 @@ class StreamingSpanPipeline:
                 False if is_last else chunks[ci + 1][0] != 4)
             t0 = _time.perf_counter()
             summary, payload = dispatch_scan(args, packed, x_in)
-            if ci + 1 < len(chunks):
-                # prefetch the NEXT chunk's pack + H2D while this
-                # chunk computes (the summary pull below blocks): the
-                # per-chunk H2D otherwise serializes with compute and
-                # was the difference between ~110 and ~150+ Mb/s steady
-                staged[ci + 1] = self._chunk_args(
-                    self._pad(chunks[ci + 1]))
+            # prefetch the next TWO chunks' pack + H2D while this chunk
+            # computes (the summary pull below blocks): the per-chunk
+            # H2D otherwise serializes with compute, and one chunk of
+            # lookahead is not enough when the host link is slower than
+            # ~chunk/compute_time (round-5 3.2 Gb run: median chunk
+            # 102 Mb/s with depth 1 through a ~15 MB/s tunnel)
+            for cj in (ci + 1, ci + 2):
+                if cj < len(chunks) and cj not in staged:
+                    staged[cj] = self._chunk_args(self._pad(chunks[cj]))
             tA, tB, maxA, maxB, top_idx = self._unpack_summary(summary)
             res, open_next, x_in = self._finish_chunk(
                 tA, tB, maxA, maxB, top_idx, payload, x_in,
