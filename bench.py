@@ -149,8 +149,15 @@ def bench_pm_pipeline(nbases, k, thr, min_w, min_s, block, cand, reps):
 
     # enough reps that the first-fill/last-drain tails (the pull+finish
     # of the final queued reps) amortize out of the steady-state rate;
-    # two walls, min taken (dev-tunnel jitter is a few % run to run)
+    # two walls, min taken (dev-tunnel jitter is a few % run to run).
+    # Weather guard: when the tunnel has collapsed (serial >> device,
+    # observed down to 0.2 MB/s) cut the sampling so the bench bounds
+    # its wall clock — the rate is then weather-, not code-, limited
     p_reps = max(6, reps)
+    pipe_walls = 2
+    if t_serial > 3 * t_dev:
+        log("weather guard: tunnel-collapsed serial rep — reduced sampling")
+        p_reps, pipe_walls = 3, 1
 
     def dispatch():
         a = fn(dev, thr32)
@@ -161,7 +168,7 @@ def bench_pm_pipeline(nbases, k, thr, min_w, min_s, block, cand, reps):
         return a
 
     t_pipe = float("inf")
-    for _ in range(2):
+    for _ in range(pipe_walls):
         t0 = time.time()
         q = [dispatch() for _ in range(2)]
         for i in range(p_reps):
@@ -172,8 +179,8 @@ def bench_pm_pipeline(nbases, k, thr, min_w, min_s, block, cand, reps):
                 q.append(dispatch())
             regions = finish(a)
         t_pipe = min(t_pipe, (time.time() - t0) / p_reps)
-    log(f"pipelined rep (x{p_reps}, best of 2): {t_pipe:.3f}s  "
-        f"regions={len(regions.regions)} fallback={regions.fallback}")
+    log(f"pipelined rep (x{p_reps}, best of {pipe_walls}): {t_pipe:.3f}s"
+        f"  regions={len(regions.regions)} fallback={regions.fallback}")
     if regions.fallback:
         log("WARNING: capacity overflow — rate not representative")
     del dev
@@ -276,6 +283,7 @@ def bench_pipeline(nbases, k, thr, min_w, min_s, block, cand, reps, chain):
     # Enough reps (and two walls below) that tunnel swings amortize —
     # a 2-rep/1-wall recount measurement was pure weather lottery
     p_reps = max(4, reps) if recount else max(5, reps + 2)
+    weather_collapsed = t_serial > 3 * t_dev
     from concurrent.futures import ThreadPoolExecutor
 
     # depth-3 dispatch queue: each rep's D2H (started eagerly with
@@ -304,8 +312,13 @@ def bench_pipeline(nbases, k, thr, min_w, min_s, block, cand, reps, chain):
 
     # two pipelined walls, min taken — the dev tunnel's run-to-run
     # jitter is a few % of a sub-second step (same min-of-steady-reps
-    # convention as the serial diagnostic)
+    # convention as the serial diagnostic); weather guard bounds the
+    # wall clock when the tunnel has collapsed
     walls = 2
+    if weather_collapsed:
+        log("weather guard: tunnel-collapsed serial rep — reduced sampling")
+        p_reps = min(p_reps, 2 if recount else 4)
+        walls = 1
     t_pipe = float("inf")
     for _ in range(walls):
         t0 = time.time()
