@@ -79,3 +79,18 @@ def test_spans_device_vs_oracle(genome):
     assert len(got) >= 2
     # the (AC)n microsatellite at 200k must be called
     assert any(b <= 200_101 and e >= 200_200 for b, e, _ in got)
+
+
+def test_spans_pm_path_vs_oracle_k12(genome):
+    """The device-complete pm pipeline on realistic composition (CpG
+    depletion + repeat families) — identical to the exact host path."""
+    p = _packed(genome)
+    k = 12
+    fast = api.kmer_low_comp_regions(p, k, 100, 20.0, thr=0.75,
+                                     backend="jax", mode="fast")
+    exact = api.kmer_low_comp_regions(p, k, 100, 20.0, thr=0.75,
+                                      backend="host", mode="exact")
+    got = [(r["beg"], r["end"], r["score"]) for r in fast.regions]
+    want = [(r["beg"], r["end"], r["score"]) for r in exact.regions]
+    assert got == want
+    assert len(got) >= 1
