@@ -362,6 +362,16 @@ def _cached_pm_pipeline(k, block, cand_blocks):
 
 
 @functools.lru_cache(maxsize=8)
+def _cached_pm_pipeline_packed(k, block, cand_blocks):
+    """Forced packed-key pm build: the overflow retry for repeat-heavy
+    inputs whose high-count run list outgrows the smallv capacity."""
+    from .spans.pm_pipeline import make_pm_span_pipeline
+
+    return make_pm_span_pipeline(k, block=block, cand_blocks=cand_blocks,
+                                 strategy="packed")
+
+
+@functools.lru_cache(maxsize=8)
 def _cached_wide_pm_pipeline(k, block, cand_blocks):
     from .spans.pm_pipeline import make_wide_pm_pipeline
 
@@ -422,9 +432,21 @@ def _low_comp_fast(packed, k, min_w, min_score, thr, block=8192,
         from .utils import native
 
         fnp, meta = _cached_pm_pipeline(k, block, cand_blocks)
-        vec = np.asarray(fnp(jnp.asarray(arr), jnp.float32(thr)))
+        dev_arr = jnp.asarray(arr)
+        vec = np.asarray(fnp(dev_arr, jnp.float32(thr)))
         out_pm = unpack_pm_outputs(vec, npad, meta)
         res = finish_pm_spans(out_pm, npad, meta, thr, min_w, min_score)
+        if res.fallback and k <= 14 and \
+                out_pm["list_count"] > meta["list_cap"]:
+            # smallv run-list overflow (repeat-heavy input beyond the
+            # Poisson sizing): the packed-key strategy clips high
+            # counts into the key instead of listing them — one retry
+            # before surrendering to the exact host path
+            fnp2, meta2 = _cached_pm_pipeline_packed(k, block, cand_blocks)
+            vec = np.asarray(fnp2(dev_arr, jnp.float32(thr)))
+            out_pm = unpack_pm_outputs(vec, npad, meta2)
+            res = finish_pm_spans(out_pm, npad, meta2, thr, min_w,
+                                  min_score)
         if res.fallback:
             return None
         counts_host, _ = native.host_spectrum(arr, k)

@@ -301,3 +301,33 @@ def test_pm_choose_params_strategy_flip():
     # wide k: smallv with tiny T at chunk scale
     s4, t4 = choose_params(17, 100_663_296, wide=True)
     assert s4 == "smallv" and t4 == 4
+
+
+def test_api_packed_retry_on_smallv_overflow(monkeypatch):
+    """api fast path: a smallv run-list overflow retries with the
+    packed-key strategy (which clips high counts into the key) before
+    surrendering to the exact host path."""
+    from kmer_spans_tpu import api as apimod
+    from kmer_spans_tpu.spans.pm_pipeline import make_pm_span_pipeline
+
+    calls = []
+
+    def tiny(k, block, cand_blocks):
+        calls.append("smallv")
+        return make_pm_span_pipeline(k, block=block,
+                                     cand_blocks=cand_blocks, list_cap=2)
+
+    monkeypatch.setattr(apimod, "_cached_pm_pipeline", tiny)
+    rng = np.random.default_rng(21)
+    seq = _plant(random_seq(rng, 40_000),
+                 [(4000, "AG", 300), (15000, "CCTGA", 150),
+                  (30000, "T", 600)])
+    k = 13
+    fast = apimod.kmer_low_comp_regions(seq, k, 30, 5.0, thr=0.75,
+                                        backend="jax", mode="fast")
+    exact = apimod.kmer_low_comp_regions(seq, k, 30, 5.0, thr=0.75,
+                                         backend="host", mode="exact")
+    assert calls == ["smallv"]
+    got = [(r["beg"], r["end"], r["score"]) for r in fast.regions]
+    want = [(r["beg"], r["end"], r["score"]) for r in exact.regions]
+    assert got == want and len(got) >= 2
