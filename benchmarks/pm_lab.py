@@ -49,7 +49,7 @@ def main():
     float(jax.device_get(dev[:1])[0])
 
     size = 1 << (2 * k)
-    t_list, stride, nbins, cap = pm_params(k)
+    _, t_list, stride, nbins, cap = pm_params(k, n=n)
 
     def stage(name, fn_body):
         f = jax.jit(fn_body)
