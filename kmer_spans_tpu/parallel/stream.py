@@ -790,12 +790,38 @@ class StreamingSpanPipeline:
             joined_s = np.concatenate([open_s, pl["s_head"]])
             joined_sc = np.concatenate([open_scored, pl["sc_head"]])
             hd0 = int(base - open_start)  # joined index of chunk start
-            # forced reset at unscored: a -1e9 contribution clamps S to 0
-            # exactly (|true sums| << 1e9; offsets cancel within segments)
-            a = np.where(joined_sc, joined_s, -1e9)
-            P = np.cumsum(a)
-            S = P - np.minimum.accumulate(np.minimum(P, 0.0))
-            zero = np.nonzero(S[hd0 - 1:] <= 0)[0]
+            # EXACT close search (true S = 0 at open_start - 1 by the
+            # handoff invariant, so this IS the reference scan): walk
+            # excursion by excursion with _first_nonpositive's strictly
+            # sequential f64 sums — the ownership split must be
+            # provable under the reference's own rounding order, not a
+            # vectorized near-equivalent that can differ by ulps at the
+            # sign boundary.  An unscored position is a forced close.
+            from ..spans.extract import _first_nonpositive
+
+            nj = joined_s.shape[0]
+            unsc = np.nonzero(~joined_sc)[0]
+            z_close = None
+            u = 0
+            while u < nj:
+                if not joined_sc[u]:
+                    if u >= hd0 - 1:
+                        z_close = u
+                        break
+                    u += 1
+                    continue
+                ui = int(np.searchsorted(unsc, u))
+                nxt = int(unsc[ui]) if ui < unsc.size else nj
+                _, z = _first_nonpositive(joined_s[:nxt], u)
+                if z is None:
+                    u = nxt  # excursion runs into the unscored reset
+                    continue
+                if z >= hd0 - 1:
+                    z_close = z
+                    break
+                u = z + 1
+            zero = (np.array([z_close - (hd0 - 1)])
+                    if z_close is not None else np.array([], np.int64))
             if not zero.size:
                 unresolved.append(
                     (ci, "boundary excursion exceeds head margin"))
